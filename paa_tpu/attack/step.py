@@ -1,0 +1,193 @@
+"""The attack step — ONE fused XLA program per training iteration.
+
+The reference's hot loop is eager PyTorch: Wav2Vec2 forward, CTC loss,
+``backward()``, a sign/Adam update on ``p``, then an eager projection with
+host round-trips (reference: src/training_utils/train.py:103-182; SURVEY.md
+§3.2). Here the entire iteration — compose+clamp, forward, CTC loss,
+``jax.grad`` w.r.t. the perturbation only, optimizer update, and the
+psychoacoustic projection — is a single jitted function. The frozen model
+parameters are captured as device constants; nothing touches the host but
+the scalar metrics and the (tiny) greedy-decode ids.
+
+Multi-chip: ``make_sharded_step`` jits the same function over a
+``jax.sharding.Mesh`` with the batch sharded along the ``data`` axis and
+``p`` replicated — XLA inserts the ICI all-reduce for ``∂loss/∂p``
+(the NCCL-allreduce equivalent the reference never had; SURVEY.md §2.4).
+An epsilon sweep adds a vmapped leading axis sharded along ``sweep``
+(the TPU-native replacement for SLURM job arrays, submit_scan_range.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from paa_tpu.attack import optimizers
+from paa_tpu.attack.optimizers import OptState
+from paa_tpu.config import AttackConfig, ConstraintParams
+from paa_tpu.ops import ctc, projections
+from paa_tpu.ops.psycho import PsychoTables
+
+
+class StepMetrics(NamedTuple):
+    ctc_loss: jnp.ndarray  # scalar, HF 'sum' reduction over the global batch
+    greedy_ids: jnp.ndarray  # (B, frames) int32 argmax ids for host-side WER
+
+
+def _loss_fn(
+    p: jnp.ndarray,
+    audio: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_paddings: jnp.ndarray,
+    apply_fn: Callable,
+    params: Any,
+    cfg: AttackConfig,
+):
+    perturbed = audio + p
+    if cfg.clamp_audio:
+        # mic/software dynamic-range simulation (reference: train.py:136)
+        perturbed = jnp.clip(perturbed, -1.0, 1.0)
+    logits = apply_fn(params, perturbed)
+    loss = ctc.ctc_loss(logits, labels, label_paddings, reduction="sum")
+    return loss, logits
+
+
+def make_train_step(
+    cfg: AttackConfig,
+    apply_fn: Callable,
+    params: Any,
+    tables: PsychoTables,
+) -> Callable:
+    """Single-device train step:
+    ``(p, opt_state, audio, labels, label_paddings, cparams, lr)
+      -> (new_p, new_opt_state, StepMetrics)``.
+    """
+
+    def train_step(p, opt_state, audio, labels, label_paddings, cparams, lr):
+        (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
+            p, audio, labels, label_paddings, apply_fn, params, cfg
+        )
+        new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
+        new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
+        metrics = StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
+        return new_p, new_opt_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def make_eval_step(cfg: AttackConfig, apply_fn: Callable, params: Any) -> Callable:
+    """Eval step: loss + greedy ids with ``p`` added but NOT clamped —
+    preserving the reference's train/eval asymmetry
+    (reference: src/training_utils/evaluation.py:15-16).
+    ``p=None``-style clean evaluation passes a zero perturbation.
+    """
+
+    def eval_step(p, audio, labels, label_paddings):
+        logits = apply_fn(params, audio + p)
+        loss = ctc.ctc_loss(logits, labels, label_paddings, reduction="sum")
+        return StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
+
+    return jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# Sharded multi-chip variants
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_step(
+    cfg: AttackConfig,
+    apply_fn: Callable,
+    params: Any,
+    tables: PsychoTables,
+    mesh: Mesh,
+) -> Callable:
+    """Data-parallel train step over ``mesh`` (axis name ``"data"``).
+
+    Shardings:
+      * audio/labels/ids: batch axis over ``data``
+      * p, opt_state, model params, tables: replicated
+    The gradient of the *summed* CTC loss w.r.t. the replicated ``p`` is
+    an all-reduce XLA inserts over ICI automatically.
+    """
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    def train_step(p, opt_state, audio, labels, label_paddings, cparams, lr):
+        (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
+            p, audio, labels, label_paddings, apply_fn, params, cfg
+        )
+        new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
+        new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
+        metrics = StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
+        return new_p, new_opt_state, metrics
+
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, repl, repl),
+        out_shardings=(repl, repl, StepMetrics(ctc_loss=repl, greedy_ids=batch_sh)),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_sweep_step(
+    cfg: AttackConfig,
+    apply_fn: Callable,
+    params: Any,
+    tables: PsychoTables,
+    mesh: Mesh,
+    sweep_tables_axis: int | None = None,
+) -> Callable:
+    """Epsilon-sweep × data-parallel train step over a 2-D mesh
+    (axes ``("sweep", "data")``).
+
+    The sweep dimension is a vmap over (p, opt_state, constraint params
+    [, spl_thresh rows]) sharded along ``sweep``; the batch is shared by
+    all sweep cells and sharded along ``data``. One compiled program
+    trains every epsilon of a norm type simultaneously — the TPU-native
+    replacement for the reference's per-cell SLURM jobs
+    (reference: submit_scan_range.py:75-133).
+    """
+    repl = NamedSharding(mesh, P())
+    sweep_sh = NamedSharding(mesh, P("sweep"))
+    batch_sh = NamedSharding(mesh, P(None, "data"))
+    audio_sh = NamedSharding(mesh, P("data"))
+
+    if sweep_tables_axis is not None:
+        tables_axes = PsychoTables(
+            fm_table=None, fm_in_domain=None, spl_thresh=0, bin_freqs=None
+        )
+    else:
+        tables_axes = None
+
+    def one_cell(p, opt_state, cparams, cell_tables, audio, labels, label_paddings, lr):
+        (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
+            p, audio, labels, label_paddings, apply_fn, params, cfg
+        )
+        new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
+        new_p = projections.perturbation_constraint(
+            new_p, audio, cfg, cparams, cell_tables
+        )
+        metrics = StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
+        return new_p, new_opt_state, metrics
+
+    def sweep_step(p_s, opt_state_s, audio, labels, label_paddings, cparams_s, lr):
+        return jax.vmap(
+            one_cell,
+            in_axes=(0, 0, 0, tables_axes, None, None, None, None),
+            out_axes=(0, 0, StepMetrics(ctc_loss=0, greedy_ids=0)),
+        )(p_s, opt_state_s, cparams_s, tables, audio, labels, label_paddings, lr)
+
+    sweep_metrics_sh = StepMetrics(
+        ctc_loss=sweep_sh, greedy_ids=NamedSharding(mesh, P("sweep", "data"))
+    )
+    return jax.jit(
+        sweep_step,
+        in_shardings=(sweep_sh, sweep_sh, audio_sh, audio_sh, audio_sh, sweep_sh, repl),
+        out_shardings=(sweep_sh, sweep_sh, sweep_metrics_sh),
+        donate_argnums=(0, 1),
+    )

@@ -1,0 +1,145 @@
+"""HF PyTorch Wav2Vec2ForCTC checkpoint → paa_tpu Flax parameter tree.
+
+The reference loads ``facebook/wav2vec2-large-960h-lv60-self`` through
+HF transformers (reference: src/training_utils/build.py:225-231). The
+TPU build loads the same checkpoints by converting the torch state_dict
+into the Flax tree of models/wav2vec2.py (encoder layers stacked along a
+leading axis for the scan-based encoder).
+
+Conversion is pure numpy — no torch needed at attack time — and is
+verified by logits-parity tests against the torch implementation on
+random-init weights (tests/test_wav2vec2.py), so correctness does not
+depend on network access to the real checkpoints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from paa_tpu.models.wav2vec2 import Wav2Vec2Config
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor / array → numpy float32."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def convert_hf_state_dict(sd: dict, cfg: Wav2Vec2Config) -> dict:
+    """Convert an HF ``Wav2Vec2ForCTC`` state_dict to our param pytree.
+
+    Accepts either torch tensors or numpy arrays as values. Handles both
+    the modern weight-norm parametrization naming
+    (``...parametrizations.weight.original0/1``) and the legacy
+    ``weight_g``/``weight_v`` naming used by older checkpoint dumps.
+    """
+    sd = {k: v for k, v in sd.items()}
+    get = lambda k: _t(sd[k])
+
+    def linear(prefix: str) -> dict:
+        return {
+            "kernel": get(f"{prefix}.weight").T,
+            "bias": get(f"{prefix}.bias"),
+        }
+
+    def norm(prefix: str) -> dict:
+        return {
+            "scale": get(f"{prefix}.weight"),
+            "bias": get(f"{prefix}.bias"),
+        }
+
+    params: dict = {}
+
+    # Feature extractor -----------------------------------------------------
+    fe: dict = {}
+    for i in range(len(cfg.conv_dim)):
+        pre = f"wav2vec2.feature_extractor.conv_layers.{i}"
+        layer = {
+            "conv": {
+                # torch Conv1d (out, in, K) → lax WIO (K, in, out)
+                "kernel": get(f"{pre}.conv.weight").transpose(2, 1, 0)
+            }
+        }
+        if cfg.conv_bias:
+            layer["conv"]["bias"] = get(f"{pre}.conv.bias")
+        if (cfg.feat_extract_norm == "group" and i == 0) or cfg.feat_extract_norm == "layer":
+            layer["layer_norm"] = norm(f"{pre}.layer_norm")
+        fe[f"conv_layers_{i}"] = layer
+    params["feature_extractor"] = fe
+
+    # Feature projection ----------------------------------------------------
+    params["feature_projection"] = {
+        "layer_norm": norm("wav2vec2.feature_projection.layer_norm"),
+        "projection": linear("wav2vec2.feature_projection.projection"),
+    }
+
+    # Positional conv embedding (weight-normed grouped conv) ----------------
+    pce = "wav2vec2.encoder.pos_conv_embed.conv"
+    if f"{pce}.parametrizations.weight.original0" in sd:
+        g = get(f"{pce}.parametrizations.weight.original0")  # (1, 1, K)
+        v = get(f"{pce}.parametrizations.weight.original1")  # (out, in/g, K)
+    else:  # legacy naming
+        g = get(f"{pce}.weight_g")
+        v = get(f"{pce}.weight_v")
+    pos_conv = {
+        "weight_g": g,
+        "weight_v": v.transpose(2, 1, 0),  # → (K, in/g, out)
+        "bias": get(f"{pce}.bias"),
+    }
+
+    # Encoder ---------------------------------------------------------------
+    def layer_tree(i: int) -> dict:
+        pre = f"wav2vec2.encoder.layers.{i}"
+        return {
+            "attention": {
+                name: linear(f"{pre}.attention.{name}")
+                for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+            },
+            "layer_norm": norm(f"{pre}.layer_norm"),
+            "final_layer_norm": norm(f"{pre}.final_layer_norm"),
+            "feed_forward": {
+                "intermediate_dense": linear(f"{pre}.feed_forward.intermediate_dense"),
+                "output_dense": linear(f"{pre}.feed_forward.output_dense"),
+            },
+        }
+
+    import jax
+
+    per_layer = [layer_tree(i) for i in range(cfg.num_hidden_layers)]
+    stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *per_layer)
+
+    params["encoder"] = {
+        "pos_conv_embed": pos_conv,
+        "layer_norm": norm("wav2vec2.encoder.layer_norm"),
+        "layers": stacked,
+    }
+
+    # CTC head ---------------------------------------------------------------
+    params["lm_head"] = linear("lm_head")
+    return params
+
+
+def load_hf_checkpoint(model_name: str, cfg: Wav2Vec2Config) -> dict:
+    """Load + convert an HF checkpoint (requires local cache or network).
+
+    In the zero-egress build environment this raises a clear error; the
+    pipeline then falls back to random init (documented divergence:
+    absolute CTC/WER values need the real weights, relative attack
+    dynamics and all throughput numbers do not).
+    """
+    hf_names = {
+        "wav2vec2-base": "facebook/wav2vec2-base-960h",
+        "wav2vec2-large-lv60": "facebook/wav2vec2-large-960h-lv60-self",
+    }
+    repo = hf_names.get(model_name, model_name)
+    try:
+        from transformers import Wav2Vec2ForCTC as TorchW2V
+
+        torch_model = TorchW2V.from_pretrained(repo)
+    except Exception as e:  # pragma: no cover - environment dependent
+        raise RuntimeError(
+            f"Could not load HF checkpoint {repo!r} (offline environment?). "
+            "Use random init or a local checkpoint path."
+        ) from e
+    return convert_hf_state_dict(torch_model.state_dict(), cfg)

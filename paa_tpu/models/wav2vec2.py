@@ -1,0 +1,355 @@
+"""Wav2Vec2-CTC in Flax — the frozen ASR target of the attack.
+
+A from-scratch TPU-first implementation of the architecture the reference
+attacks through HuggingFace (`Wav2Vec2ForCTC`; loaded at reference:
+src/training_utils/build.py:225-231). Supports both checkpoints the
+reference ecosystem uses:
+
+  * ``wav2vec2-base``       — group-norm feature extractor, post-LN encoder
+                              (the paper's target, BASELINE.md)
+  * ``wav2vec2-large-lv60`` — layer-norm feature extractor, pre-LN
+                              ("stable layer norm") encoder (the committed
+                              code's target, build.py:229-230)
+
+TPU-first design decisions:
+  * Encoder layers are stacked and driven by ``flax.linen.scan`` — one
+    traced layer instead of 12/24 unrolled copies, cutting compile time
+    and letting XLA pipeline the layer loop; optional ``jax.checkpoint``
+    (remat) on the scanned layer trades FLOPs for HBM when
+    differentiating through the frozen model w.r.t. the input waveform.
+  * All matmuls/convs run in a configurable ``compute_dtype`` (bfloat16
+    by default) with float32 accumulation on the MXU; layer norms,
+    softmax and the CTC head stay float32 for numerics.
+  * No attention mask machinery: the attack pipeline feeds fixed-length
+    batches (reference: build.py:41-61 collate), so every frame is valid
+    and the attention is a dense, statically-shaped MXU matmul.
+
+Parameter trees intentionally mirror HF naming closely enough for a
+mechanical converter (models/convert.py) verified by logits-parity tests
+against the torch implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    """Architecture hyperparameters (HF-compatible field meanings)."""
+
+    vocab_size: int = 32
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: Sequence[int] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: Sequence[int] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    feat_extract_norm: str = "group"  # "group" | "layer"
+    do_stable_layer_norm: bool = False
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    compute_dtype: str = "bfloat16"
+    remat: bool = False
+
+    @property
+    def dtype(self) -> Dtype:
+        return jnp.dtype(self.compute_dtype)
+
+    def feat_extract_output_length(self, input_length: int) -> int:
+        """Time frames produced by the conv feature extractor."""
+        L = input_length
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            L = (L - k) // s + 1
+        return L
+
+
+PRESETS = {
+    # facebook/wav2vec2-base-960h (the paper's target, SURVEY.md §6)
+    "wav2vec2-base": Wav2Vec2Config(),
+    # facebook/wav2vec2-large-960h-lv60-self (the committed code's target,
+    # reference: src/training_utils/build.py:229-230)
+    "wav2vec2-large-lv60": Wav2Vec2Config(
+        hidden_size=1024,
+        num_hidden_layers=24,
+        num_attention_heads=16,
+        intermediate_size=4096,
+        conv_bias=True,
+        feat_extract_norm="layer",
+        do_stable_layer_norm=True,
+    ),
+    # Tiny config for tests / CI.
+    "wav2vec2-tiny": Wav2Vec2Config(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        conv_dim=(32,) * 7,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        compute_dtype="float32",
+    ),
+}
+
+
+def get_config(name: str, **overrides) -> Wav2Vec2Config:
+    if name not in PRESETS:
+        raise ValueError(f"Unknown model preset {name!r}; have {sorted(PRESETS)}")
+    return dataclasses.replace(PRESETS[name], **overrides)
+
+
+# ---------------------------------------------------------------------------
+# Feature extractor (raw waveform → 512-dim frames at 49.9 Hz)
+# ---------------------------------------------------------------------------
+
+
+class ConvLayer(nn.Module):
+    cfg: Wav2Vec2Config
+    layer_id: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, C_in)
+        cfg = self.cfg
+        out_ch = cfg.conv_dim[self.layer_id]
+        x = nn.Conv(
+            features=out_ch,
+            kernel_size=(cfg.conv_kernel[self.layer_id],),
+            strides=(cfg.conv_stride[self.layer_id],),
+            padding="VALID",
+            use_bias=cfg.conv_bias,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if cfg.feat_extract_norm == "group" and self.layer_id == 0:
+            # GroupNorm with num_groups == channels (per-channel instance
+            # norm over time), as in the base checkpoint.
+            x = nn.GroupNorm(
+                num_groups=out_ch, epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                name="layer_norm",
+            )(x)
+        elif cfg.feat_extract_norm == "layer":
+            x = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm"
+            )(x)
+        return nn.gelu(x, approximate=False)
+
+
+class FeatureExtractor(nn.Module):
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:  # (B, T)
+        x = audio[..., None].astype(self.cfg.dtype)  # (B, T, 1)
+        for i in range(len(self.cfg.conv_dim)):
+            x = ConvLayer(self.cfg, i, name=f"conv_layers_{i}")(x)
+        return x  # (B, frames, conv_dim[-1])
+
+
+class FeatureProjection(nn.Module):
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.LayerNorm(
+            epsilon=self.cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm"
+        )(x)
+        return nn.Dense(
+            self.cfg.hidden_size,
+            dtype=self.cfg.dtype,
+            param_dtype=jnp.float32,
+            name="projection",
+        )(x)
+
+
+# ---------------------------------------------------------------------------
+# Positional conv embedding (grouped conv with weight normalization)
+# ---------------------------------------------------------------------------
+
+
+class PositionalConvEmbedding(nn.Module):
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, H)
+        cfg = self.cfg
+        K = cfg.num_conv_pos_embeddings
+        groups = cfg.num_conv_pos_embedding_groups
+        H = cfg.hidden_size
+        # Weight-normalized grouped conv, stored as (g, v) like the torch
+        # parametrization (dim=2: one gain per kernel tap).
+        v = self.param(
+            "weight_v",
+            nn.initializers.normal(stddev=0.02),
+            (K, H // groups, H),  # lax WIO layout
+            jnp.float32,
+        )
+        g = self.param("weight_g", nn.initializers.ones, (1, 1, K), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (H,), jnp.float32)
+        # Per-tap normalization over (out, in) — matches torch weight_norm
+        # with dim=2 on an (out, in, K) kernel.
+        norm = jnp.sqrt(jnp.sum(v**2, axis=(1, 2), keepdims=True) + 1e-12)  # (K,1,1)
+        w = v / norm * jnp.transpose(g, (2, 1, 0))  # (K, in, out)
+
+        pad = K // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(cfg.dtype),
+            w.astype(cfg.dtype),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+        )
+        y = y + bias.astype(cfg.dtype)
+        if K % 2 == 0:  # torch SamePad removes the trailing extra frame
+            y = y[:, :-1, :]
+        return nn.gelu(y, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# Transformer encoder
+# ---------------------------------------------------------------------------
+
+
+class SelfAttention(nn.Module):
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, H)
+        cfg = self.cfg
+        H, nh = cfg.hidden_size, cfg.num_attention_heads
+        hd = H // nh
+        dense = lambda name: nn.Dense(
+            H, dtype=cfg.dtype, param_dtype=jnp.float32, name=name
+        )
+        q = dense("q_proj")(x) * (hd**-0.5)
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+
+        def split(t):
+            return t.reshape(t.shape[:-1] + (nh, hd))
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+        ctx = ctx.astype(cfg.dtype).reshape(x.shape)
+        return dense("out_proj")(ctx)
+
+
+class FeedForward(nn.Module):
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = nn.Dense(
+            cfg.intermediate_size,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            name="intermediate_dense",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(
+            cfg.hidden_size, dtype=cfg.dtype, param_dtype=jnp.float32, name="output_dense"
+        )(x)
+
+
+class EncoderLayer(nn.Module):
+    """One transformer layer; pre- or post-LN per ``do_stable_layer_norm``."""
+
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _=None):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name=name
+        )
+        if cfg.do_stable_layer_norm:  # pre-LN (large-lv60)
+            x = x + SelfAttention(cfg, name="attention")(ln("layer_norm")(x))
+            x = x + FeedForward(cfg, name="feed_forward")(ln("final_layer_norm")(x))
+        else:  # post-LN (base)
+            x = ln("layer_norm")(x + SelfAttention(cfg, name="attention")(x))
+            x = ln("final_layer_norm")(x + FeedForward(cfg, name="feed_forward")(x))
+        return x.astype(cfg.dtype), None
+
+
+class Encoder(nn.Module):
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
+        if not cfg.do_stable_layer_norm:
+            x = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm"
+            )(x)
+        x = x.astype(cfg.dtype)
+
+        layer_cls = EncoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(EncoderLayer, prevent_cse=False)
+        # Stacked layers under scan: one traced layer, params with a
+        # leading (num_layers,) axis.
+        stack = nn.scan(
+            layer_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_hidden_layers,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )(cfg, name="layers")
+        x, _ = stack(x, None)
+
+        if cfg.do_stable_layer_norm:
+            x = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm"
+            )(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Full CTC model
+# ---------------------------------------------------------------------------
+
+
+class Wav2Vec2ForCTC(nn.Module):
+    """Raw waveform ``(B, T)`` → CTC logits ``(B, frames, vocab)``.
+
+    Equivalent surface to HF's ``Wav2Vec2ForCTC`` forward at eval time
+    (dropout off, no spec-augment — the reference always runs the model
+    frozen in eval mode, src/training_utils/train.py:118).
+    """
+
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
+        x = FeatureExtractor(self.cfg, name="feature_extractor")(audio)
+        x = FeatureProjection(self.cfg, name="feature_projection")(x)
+        x = Encoder(self.cfg, name="encoder")(x)
+        # CTC head in float32 for stable log-softmax downstream.
+        return nn.Dense(
+            self.cfg.vocab_size,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="lm_head",
+        )(x.astype(jnp.float32))
+
+
+def init_params(cfg: Wav2Vec2Config, seed: int = 0, example_len: int = 4000):
+    """Random-init parameters (used when no checkpoint is available)."""
+    model = Wav2Vec2ForCTC(cfg)
+    rng = jax.random.PRNGKey(seed)
+    return model.init(rng, jnp.zeros((1, example_len), jnp.float32))["params"]

@@ -1,0 +1,49 @@
+"""Device mesh construction for the attack's two parallel axes.
+
+The reference's only scale-out is SLURM job arrays over the epsilon grid,
+one GPU per cell (reference: submit_scan_range.py:52-66; SURVEY.md §2.4).
+The TPU-native layout is a 2-D mesh:
+
+  * ``data``  — batch sharding inside one attack run; the universal
+    perturbation is replicated and its gradient all-reduced over ICI.
+  * ``sweep`` — independent (epsilon) cells of a sweep, vmapped and
+    sharded; no cross-cell communication (keeps DCN out of the hot loop).
+
+Helpers below pick sensible factorizations of whatever devices exist
+(1 real chip, a v5e-8 slice, or the 8-device virtual CPU mesh used by
+tests and the driver's multi-chip dry run).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def data_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over ``data`` (pure data-parallel attack step)."""
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def sweep_mesh(n_sweep: int, n_devices: int | None = None) -> Mesh:
+    """2-D ``(sweep, data)`` mesh.
+
+    ``n_sweep`` must divide the device count; the remainder becomes the
+    data axis. With fewer devices than sweep cells, vmap still runs every
+    cell — they just share chips (n_sweep=devices, data=1 is typical for
+    "one cell per chip", the direct analogue of the reference's one job
+    per GPU).
+    """
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    if n % n_sweep != 0:
+        raise ValueError(f"n_sweep={n_sweep} must divide device count {n}")
+    arr = np.asarray(devices).reshape(n_sweep, n // n_sweep)
+    return Mesh(arr, axis_names=("sweep", "data"))
+
+
+def pad_batch_to_devices(batch_size: int, n_data: int) -> int:
+    """Round a global batch up to a multiple of the data-axis size."""
+    return ((batch_size + n_data - 1) // n_data) * n_data

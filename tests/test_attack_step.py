@@ -1,0 +1,195 @@
+"""Attack-step tests: loss movement, optimizer parity, sharding.
+
+Integration strategy per SURVEY.md §4: tiny random-init CTC model +
+synthetic audio; assert the untargeted attack *increases* CTC loss over
+steps, the targeted attack *decreases* it, PGD matches its closed-form
+update, and the sharded/sweep variants agree with the single-device step
+on the 8-device virtual CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paa_tpu.attack import optimizers, step as attack_step
+from paa_tpu.config import AttackConfig, ConstraintParams
+from paa_tpu.models import wav2vec2
+from paa_tpu.ops import psycho, text
+from paa_tpu.parallel import mesh as mesh_lib
+
+B, T = 8, 4000
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mcfg = wav2vec2.get_config("wav2vec2-tiny")
+    params = wav2vec2.init_params(mcfg, example_len=T)
+    model = wav2vec2.Wav2Vec2ForCTC(mcfg)
+    apply_fn = lambda prm, audio: model.apply({"params": prm}, audio)
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32) * 0.05)
+    labels, pads = text.encode_batch(["hello world", "testing"] * (B // 2))
+    return mcfg, params, apply_fn, audio, jnp.asarray(labels), jnp.asarray(pads)
+
+
+def _run_steps(cfg, setup, n_steps=8, lr=None):
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    tables = psycho.build_tables(cfg)
+    cparams = ConstraintParams.create(linf_size=0.05, l2_size=2.0, snr_db=10.0)
+    train = attack_step.make_train_step(cfg, apply_fn, params, tables)
+
+    p = jnp.zeros((1, T), jnp.float32)
+    opt_state = optimizers.init_opt_state(cfg, p)
+    lr = jnp.float32(lr if lr is not None else cfg.lr)
+    losses = []
+    for _ in range(n_steps):
+        p, opt_state, m = train(p, opt_state, audio, labels, pads, cparams, lr)
+        losses.append(float(m.ctc_loss))
+    return p, losses
+
+
+def test_untargeted_pgd_increases_loss(setup):
+    cfg = AttackConfig(
+        norm_type="linf", optimizer_type="pgd", attack_mode="untargeted", lr=5e-3
+    )
+    p, losses = _run_steps(cfg, setup)
+    assert losses[-1] > losses[0], losses
+    assert float(jnp.max(jnp.abs(p))) <= 0.05 + 1e-6  # projected
+
+
+def test_targeted_pgd_decreases_loss(setup):
+    cfg = AttackConfig(
+        norm_type="linf",
+        optimizer_type="pgd",
+        attack_mode="targeted",
+        lr=5e-3,
+        target="delete",
+        target_reps=2,
+    )
+    mcfg, params, apply_fn, audio, _, _ = setup
+    # targeted labels: repeated phrase (reference: loss_helpers.py:13-15)
+    t_labels, t_pads = text.encode_batch(
+        text.clean_transcripts(text.targeted_texts(cfg.target, cfg.target_reps, B))
+    )
+    tables = psycho.build_tables(cfg)
+    cparams = ConstraintParams.create(linf_size=0.05)
+    train = attack_step.make_train_step(cfg, apply_fn, params, tables)
+    p = jnp.zeros((1, T), jnp.float32)
+    opt_state = optimizers.init_opt_state(cfg, p)
+    losses = []
+    for _ in range(8):
+        p, opt_state, m = train(
+            p, opt_state, audio, jnp.asarray(t_labels), jnp.asarray(t_pads), cparams, jnp.float32(cfg.lr)
+        )
+        losses.append(float(m.ctc_loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_adam_runs_and_projects(setup):
+    cfg = AttackConfig(norm_type="l2", optimizer_type="adam", lr=1e-2)
+    p, losses = _run_steps(cfg, setup, n_steps=5)
+    assert float(jnp.linalg.norm(p)) <= 2.0 * (1 + 1e-5)
+    assert np.isfinite(losses).all()
+
+
+def test_pgd_update_closed_form(setup):
+    """One PGD step == p + lr·sign(grad) followed by projection."""
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig(norm_type="linf", optimizer_type="pgd", lr=1e-3)
+    tables = psycho.build_tables(cfg)
+    cparams = ConstraintParams.create(linf_size=1.0)  # wide: projection no-op
+    train = attack_step.make_train_step(cfg, apply_fn, params, tables)
+
+    p0 = jnp.zeros((1, T), jnp.float32)
+    # compute the closed form first: the train step donates its p buffer
+    grad = jax.grad(
+        lambda p: attack_step._loss_fn(p, audio, labels, pads, apply_fn, params, cfg)[0]
+    )(p0)
+    expected = p0 + cfg.lr * jnp.sign(grad)
+
+    opt_state = optimizers.init_opt_state(cfg, p0)
+    p1, _, _ = train(p0, opt_state, audio, labels, pads, cparams, jnp.float32(cfg.lr))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(expected), atol=1e-7)
+
+
+def test_eval_step_no_clamp(setup):
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig()
+    ev = attack_step.make_eval_step(cfg, apply_fn, params)
+    big_p = jnp.full((1, T), 3.0, jnp.float32)  # beyond [-1, 1]
+    m = ev(big_p, audio, labels, pads)
+    assert np.isfinite(float(m.ctc_loss))
+    zero = ev(jnp.zeros((1, T), jnp.float32), audio, labels, pads)
+    assert float(zero.ctc_loss) != float(m.ctc_loss)
+
+
+# -- sharded variants ---------------------------------------------------------
+
+
+def test_sharded_step_matches_single(setup):
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig(norm_type="linf", optimizer_type="pgd", lr=1e-3)
+    tables = psycho.build_tables(cfg)
+    cparams = ConstraintParams.create(linf_size=0.05)
+
+    single = attack_step.make_train_step(cfg, apply_fn, params, tables)
+    mesh = mesh_lib.data_mesh(8)
+    sharded = attack_step.make_sharded_step(cfg, apply_fn, params, tables, mesh)
+
+    p0 = jnp.zeros((1, T), jnp.float32)
+    s0 = optimizers.init_opt_state(cfg, p0)
+    lr = jnp.float32(cfg.lr)
+    p_a, _, m_a = single(p0, s0, audio, labels, pads, cparams, lr)
+    p_b, _, m_b = sharded(
+        jnp.zeros((1, T), jnp.float32), optimizers.init_opt_state(cfg, p0),
+        audio, labels, pads, cparams, lr,
+    )
+    np.testing.assert_allclose(float(m_a.ctc_loss), float(m_b.ctc_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-7)
+
+
+def test_sweep_step_matches_per_epsilon(setup):
+    """3-cell linf epsilon sweep on a (sweep=4, data=2) mesh... sweep=4
+    needs 4 cells; use 4 epsilons."""
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig(norm_type="linf", optimizer_type="pgd", lr=5e-3)
+    tables = psycho.build_tables(cfg)
+    epsilons = np.asarray([1e-3, 5e-3, 2e-2, 1e-1], dtype=np.float32)
+    S = len(epsilons)
+
+    base = ConstraintParams.create()
+    cparams_s = jax.tree.map(lambda x: jnp.broadcast_to(x, (S,)), base)
+    cparams_s = cparams_s._replace(linf_size=jnp.asarray(epsilons))
+
+    mesh = mesh_lib.sweep_mesh(n_sweep=4, n_devices=8)
+    sweep = attack_step.make_sweep_step(cfg, apply_fn, params, tables, mesh)
+
+    p_s = jnp.zeros((S, 1, T), jnp.float32)
+    opt_s = jax.vmap(lambda p: optimizers.init_opt_state(cfg, p))(p_s)
+    lr = jnp.float32(cfg.lr)
+    p_s, opt_s, m = sweep(p_s, opt_s, audio, labels, pads, cparams_s, lr)
+    assert m.ctc_loss.shape == (S,)
+    # all cells see the same batch => identical pre-projection update;
+    # per-cell projection enforces each epsilon
+    for i, eps in enumerate(epsilons):
+        assert float(jnp.max(jnp.abs(p_s[i]))) <= eps + 1e-7
+
+    # cell results equal the single-device step with that epsilon
+    single = attack_step.make_train_step(cfg, apply_fn, params, tables)
+    p1, _, m1 = single(
+        jnp.zeros((1, T), jnp.float32),
+        optimizers.init_opt_state(cfg, jnp.zeros((1, T), jnp.float32)),
+        audio, labels, pads, base._replace(linf_size=jnp.float32(epsilons[2])), lr,
+    )
+    np.testing.assert_allclose(np.asarray(p_s[2]), np.asarray(p1), atol=1e-7)
+    np.testing.assert_allclose(float(m.ctc_loss[2]), float(m1.ctc_loss), rtol=1e-5)
+
+
+def test_step_lr_schedule():
+    cfg = AttackConfig(lr=1e-4, gamma=0.9, step_size=2)
+    assert optimizers.step_lr(cfg, 0) == pytest.approx(1e-4)
+    assert optimizers.step_lr(cfg, 1) == pytest.approx(1e-4)
+    assert optimizers.step_lr(cfg, 2) == pytest.approx(0.9e-4)
+    assert optimizers.step_lr(cfg, 5) == pytest.approx(1e-4 * 0.9**2)

@@ -1,0 +1,117 @@
+"""Wav2Vec2 architecture + converter parity vs the HF torch implementation.
+
+Zero-egress environment: no pretrained downloads. Instead we instantiate
+HF's torch ``Wav2Vec2ForCTC`` with *random* weights locally, convert its
+state_dict through models/convert.py, and assert logits parity — which
+verifies the full architecture (feature extractor, group/layer norms,
+weight-normed positional conv, pre/post-LN encoder, CTC head) and the
+converter at once. With parity on random weights, parity on the real
+checkpoints follows.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from paa_tpu.models import convert, wav2vec2
+
+
+def _hf_config(cfg: wav2vec2.Wav2Vec2Config):
+    from transformers import Wav2Vec2Config as HFConfig
+
+    return HFConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        conv_dim=list(cfg.conv_dim),
+        conv_kernel=list(cfg.conv_kernel),
+        conv_stride=list(cfg.conv_stride),
+        conv_bias=cfg.conv_bias,
+        feat_extract_norm=cfg.feat_extract_norm,
+        do_stable_layer_norm=cfg.do_stable_layer_norm,
+        num_conv_pos_embeddings=cfg.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=cfg.num_conv_pos_embedding_groups,
+        layer_norm_eps=cfg.layer_norm_eps,
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        final_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+
+
+def _parity_case(cfg: wav2vec2.Wav2Vec2Config, seed=0, b=2, t=4000):
+    from transformers import Wav2Vec2ForCTC as TorchW2V
+
+    torch.manual_seed(seed)
+    torch_model = TorchW2V(_hf_config(cfg)).eval()
+
+    params = convert.convert_hf_state_dict(torch_model.state_dict(), cfg)
+    model = wav2vec2.Wav2Vec2ForCTC(cfg)
+
+    rng = np.random.default_rng(seed)
+    audio = (rng.standard_normal((b, t)) * 0.1).astype(np.float32)
+
+    with torch.no_grad():
+        theirs = torch_model(input_values=torch.from_numpy(audio)).logits.numpy()
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(audio)))
+    return ours, theirs
+
+
+@pytest.mark.parametrize(
+    "preset_kw",
+    [
+        # base-style: group norm, post-LN
+        dict(feat_extract_norm="group", do_stable_layer_norm=False, conv_bias=False),
+        # large-lv60-style: layer norm, pre-LN, conv bias
+        dict(feat_extract_norm="layer", do_stable_layer_norm=True, conv_bias=True),
+    ],
+    ids=["base-style", "lv60-style"],
+)
+def test_logits_parity_tiny(preset_kw):
+    cfg = wav2vec2.get_config("wav2vec2-tiny", **preset_kw)
+    ours, theirs = _parity_case(cfg)
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
+
+
+def test_feat_extract_output_length():
+    cfg = wav2vec2.get_config("wav2vec2-tiny")
+    for t in [4000, 16000, 160000]:
+        expected = t
+        for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+            expected = (expected - k) // s + 1
+        assert cfg.feat_extract_output_length(t) == expected
+
+
+def test_grad_wrt_audio_flows():
+    """The attack differentiates the frozen model w.r.t. its input."""
+    cfg = wav2vec2.get_config("wav2vec2-tiny")
+    params = wav2vec2.init_params(cfg, example_len=2000)
+    model = wav2vec2.Wav2Vec2ForCTC(cfg)
+
+    def loss(audio):
+        return jnp.sum(model.apply({"params": params}, audio) ** 2)
+
+    g = jax.grad(loss)(jnp.ones((1, 2000), jnp.float32) * 0.01)
+    assert g.shape == (1, 2000)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_bf16_compute_close_to_fp32():
+    cfg32 = wav2vec2.get_config("wav2vec2-tiny")
+    cfg16 = wav2vec2.get_config("wav2vec2-tiny", compute_dtype="bfloat16")
+    params = wav2vec2.init_params(cfg32, example_len=2000)
+    audio = jnp.asarray(np.random.default_rng(0).standard_normal((1, 2000)), jnp.float32) * 0.1
+    l32 = wav2vec2.Wav2Vec2ForCTC(cfg32).apply({"params": params}, audio)
+    l16 = wav2vec2.Wav2Vec2ForCTC(cfg16).apply({"params": params}, audio)
+    assert l16.dtype == jnp.float32  # head always fp32
+    # bf16 matmuls: loose agreement is expected and sufficient
+    assert float(jnp.mean(jnp.abs(l16 - l32))) < 0.1 * float(jnp.mean(jnp.abs(l32)) + 1e-6)
