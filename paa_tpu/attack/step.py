@@ -43,6 +43,7 @@ def _loss_fn(
     audio: jnp.ndarray,
     labels: jnp.ndarray,
     label_paddings: jnp.ndarray,
+    weights: jnp.ndarray,
     apply_fn: Callable,
     params: Any,
     cfg: AttackConfig,
@@ -52,7 +53,10 @@ def _loss_fn(
         # mic/software dynamic-range simulation (reference: train.py:136)
         perturbed = jnp.clip(perturbed, -1.0, 1.0)
     logits = apply_fn(params, perturbed)
-    loss = ctc.ctc_loss(logits, labels, label_paddings, reduction="sum")
+    per_example = ctc.ctc_loss(logits, labels, label_paddings, reduction="none")
+    # weighted sum == HF 'sum' reduction over the real rows; padding rows
+    # of the final static-shape batch carry weight 0 (data/pipeline.py)
+    loss = jnp.sum(per_example * weights)
     return loss, logits
 
 
@@ -67,9 +71,9 @@ def make_train_step(
       -> (new_p, new_opt_state, StepMetrics)``.
     """
 
-    def train_step(p, opt_state, audio, labels, label_paddings, cparams, lr):
+    def train_step(p, opt_state, audio, labels, label_paddings, weights, cparams, lr):
         (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
-            p, audio, labels, label_paddings, apply_fn, params, cfg
+            p, audio, labels, label_paddings, weights, apply_fn, params, cfg
         )
         new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
         new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
@@ -86,9 +90,10 @@ def make_eval_step(cfg: AttackConfig, apply_fn: Callable, params: Any) -> Callab
     ``p=None``-style clean evaluation passes a zero perturbation.
     """
 
-    def eval_step(p, audio, labels, label_paddings):
+    def eval_step(p, audio, labels, label_paddings, weights):
         logits = apply_fn(params, audio + p)
-        loss = ctc.ctc_loss(logits, labels, label_paddings, reduction="sum")
+        per_example = ctc.ctc_loss(logits, labels, label_paddings, reduction="none")
+        loss = jnp.sum(per_example * weights)
         return StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
 
     return jax.jit(eval_step)
@@ -117,9 +122,9 @@ def make_sharded_step(
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
 
-    def train_step(p, opt_state, audio, labels, label_paddings, cparams, lr):
+    def train_step(p, opt_state, audio, labels, label_paddings, weights, cparams, lr):
         (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
-            p, audio, labels, label_paddings, apply_fn, params, cfg
+            p, audio, labels, label_paddings, weights, apply_fn, params, cfg
         )
         new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
         new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
@@ -128,7 +133,7 @@ def make_sharded_step(
 
     return jax.jit(
         train_step,
-        in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, repl, repl),
+        in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, batch_sh, repl, repl),
         out_shardings=(repl, repl, StepMetrics(ctc_loss=repl, greedy_ids=batch_sh)),
         donate_argnums=(0, 1),
     )
@@ -164,9 +169,9 @@ def make_sweep_step(
     else:
         tables_axes = None
 
-    def one_cell(p, opt_state, cparams, cell_tables, audio, labels, label_paddings, lr):
+    def one_cell(p, opt_state, cparams, cell_tables, audio, labels, label_paddings, weights, lr):
         (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
-            p, audio, labels, label_paddings, apply_fn, params, cfg
+            p, audio, labels, label_paddings, weights, apply_fn, params, cfg
         )
         new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
         new_p = projections.perturbation_constraint(
@@ -175,19 +180,19 @@ def make_sweep_step(
         metrics = StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
         return new_p, new_opt_state, metrics
 
-    def sweep_step(p_s, opt_state_s, audio, labels, label_paddings, cparams_s, lr):
+    def sweep_step(p_s, opt_state_s, audio, labels, label_paddings, weights, cparams_s, lr):
         return jax.vmap(
             one_cell,
-            in_axes=(0, 0, 0, tables_axes, None, None, None, None),
+            in_axes=(0, 0, 0, tables_axes, None, None, None, None, None),
             out_axes=(0, 0, StepMetrics(ctc_loss=0, greedy_ids=0)),
-        )(p_s, opt_state_s, cparams_s, tables, audio, labels, label_paddings, lr)
+        )(p_s, opt_state_s, cparams_s, tables, audio, labels, label_paddings, weights, lr)
 
     sweep_metrics_sh = StepMetrics(
         ctc_loss=sweep_sh, greedy_ids=NamedSharding(mesh, P("sweep", "data"))
     )
     return jax.jit(
         sweep_step,
-        in_shardings=(sweep_sh, sweep_sh, audio_sh, audio_sh, audio_sh, sweep_sh, repl),
+        in_shardings=(sweep_sh, sweep_sh, audio_sh, audio_sh, audio_sh, audio_sh, sweep_sh, repl),
         out_shardings=(sweep_sh, sweep_sh, sweep_metrics_sh),
         donate_argnums=(0, 1),
     )

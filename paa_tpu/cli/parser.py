@@ -1,0 +1,141 @@
+"""Argparse flag surface — preserves every reference flag.
+
+Reference: src/training_utils/parser.py:6-69 (28 flags in 4 groups).
+Additions beyond the reference are marked [NEW]:
+  * ``--platform`` replaces the reference's never-defined ``args.device``
+    (SURVEY.md §5.6 bug),
+  * ``--dataset synthetic`` + ``--data_root`` for offline runs,
+  * ``--model`` selects wav2vec2-base (paper) vs wav2vec2-large-lv60
+    (committed code) (SURVEY.md §5.9),
+  * ``--small_data`` actually subsets (the reference documents 1% but
+    never implements it),
+  * ``--compute_dtype`` / ``--remat`` expose TPU performance knobs,
+  * ``--l1_size`` revives the reference's dead l1 projection.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from paa_tpu.config import AttackConfig, ConstraintParams
+
+
+def create_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native psychoacoustic adversarial attacks on Wav2Vec2-CTC"
+    )
+
+    # standard training params (reference: parser.py:10-18)
+    parser.add_argument("--batch_size", type=int, default=64, help="batch size")
+    parser.add_argument("--lr", type=float, default=1e-4, help="lr for the perturbation update")
+    parser.add_argument("--early_stopping", type=int, default=4,
+                        help="how many epochs to wait before early stopping")
+    parser.add_argument("--num_epochs", type=int, default=50, help="how many epochs at all")
+    parser.add_argument("--optimizer_type", type=str, choices=["adam", "pgd"], default="adam",
+                        help="how to optimize the perturbation update")
+    parser.add_argument("--gamma", type=float, default=0.9, help="lr decay factor")
+    parser.add_argument("--step_size", type=int, default=2,
+                        help="how many epochs between lr decays")
+
+    # data (reference: parser.py:21-26)
+    parser.add_argument("--dataset", type=str, default="LibreeSpeech",
+                        choices=["LibreeSpeech", "CommonVoice", "tedlium", "synthetic"],
+                        help="dataset; use CommonVoice/tedlium when attacking wav2vec2 "
+                             "(trained on LibriSpeech); 'synthetic' is offline [NEW]")
+    parser.add_argument("--data_root", type=str, default=None,
+                        help="[NEW] local directory for LibriSpeech-layout WAV data")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="Path to a saved perturbation (.npy) to resume training from")
+
+    # adversarial params (reference: parser.py:29-50)
+    parser.add_argument("--target_reps", type=int, default=5,
+                        help="how many times the model should predict the target word")
+    parser.add_argument("--target", type=str, default="delete",
+                        help="Target phrase for targeted attacks")
+    parser.add_argument("--attack_mode", type=str, choices=["untargeted", "targeted"],
+                        default="untargeted")
+    parser.add_argument("--norm_type", type=str,
+                        choices=["l2", "linf", "snr", "tv", "l1",
+                                 "fletcher_munson", "min_max_freqs", "max_phon"],
+                        default="max_phon", help="type of norm to limit the perturbation")
+    parser.add_argument("--fm_epsilon", type=float, default=2,
+                        help="size of the fletcher-munson ball")
+    parser.add_argument("--l2_size", type=float, default=0.05)
+    parser.add_argument("--l1_size", type=float, default=1.0, help="[NEW] l1 ball radius")
+    parser.add_argument("--linf_size", type=float, default=0.0001)
+    parser.add_argument("--snr_db", type=float, default=64,
+                        help="minimum signal-to-noise ratio (dB)")
+    parser.add_argument("--min_freq_attack", type=float, default=120,
+                        help="band-mask lower edge (acts as the audible upper cutoff; "
+                             "energy is kept OUTSIDE [min,max], reference semantics)")
+    parser.add_argument("--max_freq_attack", type=float, default=20_000)
+    parser.add_argument("--tv_epsilon", type=float, default=0.001,
+                        help="Total Variation constraint (fraction of clean batch TV)")
+    parser.add_argument("--max_phon_level", type=float, default=20,
+                        help="Maximum allowed phon level in perceptual constraint")
+
+    # sound properties (reference: parser.py:54-61)
+    parser.add_argument("--phon_reference_db", type=float, default=65,
+                        help="dB level in STFT space corresponding to max_phon_level")
+    parser.add_argument("--sr", type=int, default=16000, help="sample rate")
+    parser.add_argument("--n_fft", type=int, default=1024)
+    parser.add_argument("--hop_length", type=int, default=256)
+    parser.add_argument("--win_length", type=int, default=1024)
+    parser.add_argument("--relative_audio_length", type=float, default=0.80,
+                        help="length-quantile used as the fixed collate length")
+
+    # others (reference: parser.py:64-66)
+    parser.add_argument("--seed", type=int, default=5)
+    parser.add_argument("--small_data", action="store_true",
+                        help="use ~1%% of the dataset for fast debugging")
+    parser.add_argument("--num_items_to_inspect", type=int, default=12)
+
+    # [NEW] TPU-native knobs
+    parser.add_argument("--model", type=str, default="wav2vec2-base",
+                        choices=["wav2vec2-base", "wav2vec2-large-lv60", "wav2vec2-tiny"],
+                        help="frozen ASR target (paper uses base; committed reference "
+                             "code uses large-lv60)")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=[None, "tpu", "cpu"],
+                        help="force a JAX platform (default: auto)")
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize encoder layers (less HBM, more FLOPs)")
+    parser.add_argument("--save_root", type=str, default=None,
+                        help="root dir for run artifacts (default: ./logs)")
+    parser.add_argument("--synthetic_samples", type=int, default=512,
+                        help="corpus size for --dataset synthetic")
+    parser.add_argument("--no_resume", action="store_true",
+                        help="ignore existing checkpoints in the save dir")
+    return parser
+
+
+def config_from_args(args) -> AttackConfig:
+    return AttackConfig(
+        norm_type=args.norm_type,
+        attack_mode=args.attack_mode,
+        optimizer_type=args.optimizer_type,
+        target=args.target,
+        target_reps=args.target_reps,
+        sr=args.sr,
+        n_fft=args.n_fft,
+        hop_length=args.hop_length,
+        win_length=args.win_length,
+        phon_reference_db=args.phon_reference_db,
+        max_phon_level=args.max_phon_level,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        num_epochs=args.num_epochs,
+        early_stopping=args.early_stopping,
+        gamma=args.gamma,
+        step_size=args.step_size,
+        seed=args.seed,
+        model_name=args.model,
+        compute_dtype=args.compute_dtype,
+        remat=args.remat,
+    )
+
+
+def constraint_params_from_args(args) -> ConstraintParams:
+    return ConstraintParams.from_args(args)

@@ -1,0 +1,144 @@
+"""Attack run entry point — ``python -m paa_tpu.cli.run_attack <flags>``.
+
+The TPU-native rebuild of the reference CLI (src/run_attack.py:13-284):
+setup → psychoacoustic tables → data → frozen model → perturbation →
+epoch loop → finalize, with the same save-dir naming scheme, resume
+discovery, results.json, and exit codes (0 success / 1 failure with a
+failure JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+from paa_tpu.cli import parser as parser_lib
+from paa_tpu.config import attack_size_value
+from paa_tpu.data import datasets, pipeline as pipeline_lib
+from paa_tpu.models import convert, wav2vec2
+from paa_tpu.train import artifacts, checkpoint, log_helpers, loop
+
+
+def make_save_dir(args) -> str:
+    """logs/{attack_mode}/{dataset}/{norm}_{size}_{mode}_{opt}
+    (reference: build.py:249-254)."""
+    sizes = {
+        "min_max_freqs": args.min_freq_attack,
+        "fletcher_munson": args.fm_epsilon,
+        "max_phon": args.max_phon_level,
+        "l2": args.l2_size,
+        "l1": args.l1_size,
+        "linf": args.linf_size,
+        "snr": args.snr_db,
+        "tv": args.tv_epsilon,
+    }
+    args.attack_size_string = f"{sizes[args.norm_type]}"
+    root = args.save_root or os.path.join(os.getcwd(), "logs")
+    return os.path.join(
+        root, args.attack_mode, args.dataset,
+        f"{args.norm_type}_{args.attack_size_string}_{args.attack_mode}_{args.optimizer_type}",
+    )
+
+
+def setup_jax(platform: str | None):
+    """Configure JAX: optional platform pin + persistent compile cache."""
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/paa_tpu_xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+    return jax
+
+
+def load_model_bundle(args):
+    """Frozen Wav2Vec2-CTC: converted HF weights if available, else
+    random init (zero-egress fallback; models/convert.py)."""
+    log = logging.getLogger("paa_tpu")
+    mcfg = wav2vec2.get_config(
+        args.model, compute_dtype=args.compute_dtype, remat=args.remat
+    )
+    params = None
+    if args.model != "wav2vec2-tiny":  # tiny is test-only, never pretrained
+        try:
+            params = convert.load_hf_checkpoint(args.model, mcfg)
+            log.info("loaded pretrained HF weights for %s", args.model)
+        except Exception as e:
+            log.warning("pretrained weights unavailable (%s); using random init", e)
+    if params is None:
+        params = wav2vec2.init_params(mcfg, seed=args.seed)
+    model = wav2vec2.Wav2Vec2ForCTC(mcfg)
+    apply_fn = lambda prm, audio: model.apply({"params": prm}, audio)
+    return mcfg, params, apply_fn
+
+
+def main(args) -> int:
+    save_dir = make_save_dir(args)
+    os.makedirs(save_dir, exist_ok=True)
+    log = log_helpers.setup_logging(save_dir)
+    log_helpers.log_args(log, vars(args))
+    log.info("norm_type=%s | attack_size=%s", args.norm_type, args.attack_size_string)
+
+    jax = setup_jax(args.platform)
+    log.info("devices: %s", jax.devices())
+
+    cfg = parser_lib.config_from_args(args)
+    cparams = parser_lib.constraint_params_from_args(args)
+
+    try:
+        samples = datasets.load_dataset_tuples(
+            args.dataset,
+            seed=args.seed,
+            data_root=args.data_root,
+            small_data=args.small_data,
+            synthetic_samples=args.synthetic_samples,
+        )
+        pipe = pipeline_lib.build_pipeline(
+            samples, relative_audio_length=args.relative_audio_length, seed=args.seed
+        )
+        log.info(
+            "splits: train=%d eval=%d test=%d | audio_len=%d (%.1fs)",
+            len(pipe.train), len(pipe.eval), len(pipe.test),
+            pipe.audio_len, pipe.audio_len / args.sr,
+        )
+
+        _, params, apply_fn = load_model_bundle(args)
+
+        init_p = None
+        if args.resume_from:
+            log.info("Resuming perturbation from: %s", args.resume_from)
+            init_p = checkpoint.load_perturbation(args.resume_from)
+
+        result = loop.run_attack(
+            cfg, apply_fn, params, pipe, save_dir,
+            cparams=cparams,
+            num_items_to_inspect=args.num_items_to_inspect,
+            resume=not args.no_resume and not args.small_data,
+            init_p=init_p,
+        )
+        return 0
+    except Exception as e:  # failure report (reference: run_attack.py:265-279)
+        log.exception("Run failed with an exception: %s", e)
+        try:
+            artifacts.save_json_results(
+                save_dir, args.norm_type, args.attack_size_string,
+                epoch=-1, finished_training=False, error=str(e),
+            )
+        except Exception:
+            pass
+        return 1
+
+
+if __name__ == "__main__":
+    cli_args = parser_lib.create_arg_parser().parse_args()
+    sys.exit(main(cli_args))

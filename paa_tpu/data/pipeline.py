@@ -1,0 +1,180 @@
+"""Batching pipeline: length filter, splits, fixed-shape collate, prefetch.
+
+Reproduces the reference's data semantics (src/training_utils/build.py):
+  * length stats from the first 300 samples; keep lengths within the
+    [q10, q(relative_audio_length)] window (build.py:186-192),
+  * crop/zero-pad every waveform to the window's upper quantile so all
+    batches are one static shape (build.py:41-61 collate),
+  * deterministic shuffle + 80/10/10 train/eval/test split (build.py:198-208).
+
+TPU-first additions:
+  * labels are tokenized ONCE per split (the reference re-tokenizes every
+    batch inside the hot loop, src/core/loss_helpers.py:19),
+  * the final partial batch is padded to the static batch shape with a
+    per-example weight mask (0.0 for padding rows) instead of going
+    ragged — eval covers every sample with zero recompiles,
+  * an async device prefetcher overlaps host→device transfer of batch
+    k+1 with compute of batch k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, NamedTuple, Sequence
+
+import jax
+import numpy as np
+
+from paa_tpu.ops import text as text_ops
+
+
+class Batch(NamedTuple):
+    audio: np.ndarray  # (B, T) float32
+    labels: np.ndarray  # (B, L) int32
+    label_paddings: np.ndarray  # (B, L) float32
+    weights: np.ndarray  # (B,) float32 — 0.0 on padding rows
+    indices: np.ndarray  # (B,) int32 — row index into the split (−1 pad)
+
+
+@dataclasses.dataclass
+class Split:
+    """One data split: variable-length waveforms + pre-tokenized labels."""
+
+    waveforms: list  # list[np.ndarray (Ti,)]
+    texts: list  # cleaned transcripts
+    labels: np.ndarray  # (N, L) int32
+    label_paddings: np.ndarray  # (N, L) float32
+    audio_len: int
+
+    def __len__(self):
+        return len(self.waveforms)
+
+    def collate(self, idx: Sequence[int], batch_size: int) -> Batch:
+        """Fixed-shape batch from rows ``idx`` (padded to batch_size)."""
+        B, T = batch_size, self.audio_len
+        audio = np.zeros((B, T), dtype=np.float32)
+        weights = np.zeros((B,), dtype=np.float32)
+        rows = np.full((B,), -1, dtype=np.int32)
+        L = self.labels.shape[1]
+        labels = np.full((B, L), text_ops.PAD_ID, dtype=np.int32)
+        paddings = np.ones((B, L), dtype=np.float32)
+        for j, i in enumerate(idx):
+            w = self.waveforms[i]
+            n = min(len(w), T)  # crop or zero-pad (reference: build.py:49-53)
+            audio[j, :n] = w[:n]
+            labels[j] = self.labels[i]
+            paddings[j] = self.label_paddings[i]
+            weights[j] = 1.0
+            rows[j] = i
+        return Batch(audio, labels, paddings, weights, rows)
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle_rng: np.random.Generator | None = None,
+        drop_remainder: bool = False,
+    ) -> Iterator[Batch]:
+        order = np.arange(len(self))
+        if shuffle_rng is not None:
+            shuffle_rng.shuffle(order)
+        for start in range(0, len(order), batch_size):
+            chunk = order[start : start + batch_size]
+            if len(chunk) < batch_size and drop_remainder:
+                return
+            yield self.collate(chunk, batch_size)
+
+    def num_batches(self, batch_size: int, drop_remainder: bool = False) -> int:
+        n = len(self)
+        return n // batch_size if drop_remainder else -(-n // batch_size)
+
+
+class DataPipeline(NamedTuple):
+    train: Split
+    eval: Split
+    test: Split
+    audio_len: int
+
+
+def _make_split(samples: list, audio_len: int, label_len: int) -> Split:
+    texts = text_ops.clean_transcripts([t for (_, _, t) in samples])
+    labels, paddings = text_ops.encode_batch(texts, pad_to=label_len)
+    return Split(
+        waveforms=[np.asarray(w, dtype=np.float32).reshape(-1) for (w, _, _) in samples],
+        texts=texts,
+        labels=labels,
+        label_paddings=paddings,
+        audio_len=audio_len,
+    )
+
+
+def build_pipeline(
+    samples: list,
+    relative_audio_length: float = 0.80,
+    seed: int = 5,
+    target_size: int | None = None,
+) -> DataPipeline:
+    """Length-filter, split and pre-tokenize a materialized corpus.
+
+    Mirrors reference semantics: quantile window from the first 300
+    samples (build.py:186-192), deterministic shuffle, 80/10/10 split
+    (build.py:198-208).
+    """
+    lengths = np.asarray(
+        [len(np.asarray(w).reshape(-1)) for (w, _, _) in samples[: min(300, len(samples))]],
+        dtype=np.float64,
+    )
+    min_len = int(np.quantile(lengths, 0.10))
+    audio_len = int(np.quantile(lengths, relative_audio_length))
+
+    kept = [
+        s
+        for s in samples
+        if min_len <= len(np.asarray(s[0]).reshape(-1)) <= audio_len
+    ]
+    if target_size is not None:
+        kept = kept[:target_size]
+    if len(kept) < 3:
+        raise ValueError(
+            f"Too few samples after length filtering ({len(kept)}); "
+            f"window=[{min_len}, {audio_len}]"
+        )
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(kept))
+    kept = [kept[i] for i in order]
+
+    n_train = int(0.8 * len(kept))
+    n_eval = int(0.1 * len(kept))
+    groups = {
+        "train": kept[:n_train],
+        "eval": kept[n_train : n_train + n_eval],
+        "test": kept[n_train + n_eval :],
+    }
+    # One shared label width for every split → a single eval-step shape.
+    all_texts = text_ops.clean_transcripts([t for (_, _, t) in kept])
+    label_len = max((len(text_ops.encode(t)) for t in all_texts), default=1)
+
+    return DataPipeline(
+        train=_make_split(groups["train"], audio_len, label_len),
+        eval=_make_split(groups["eval"], audio_len, label_len),
+        test=_make_split(groups["test"], audio_len, label_len),
+        audio_len=audio_len,
+    )
+
+
+def prefetch_to_device(iterator: Iterator[Batch], size: int = 2) -> Iterator[Batch]:
+    """Move batches to device ``size`` steps ahead of consumption.
+
+    JAX dispatch is async, so one batch of lookahead is enough to overlap
+    the host→device copy with the previous step's compute — the TPU
+    replacement for the reference's DataLoader worker prefetch.
+    """
+    import collections
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(jax.device_put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

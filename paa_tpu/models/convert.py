@@ -134,9 +134,14 @@ def load_hf_checkpoint(model_name: str, cfg: Wav2Vec2Config) -> dict:
     }
     repo = hf_names.get(model_name, model_name)
     try:
+        import os
+
+        os.environ.setdefault("HF_HUB_OFFLINE", "0")
         from transformers import Wav2Vec2ForCTC as TorchW2V
 
-        torch_model = TorchW2V.from_pretrained(repo)
+        torch_model = TorchW2V.from_pretrained(repo, local_files_only=bool(
+            int(os.environ.get("PAA_HF_LOCAL_ONLY", "1"))
+        ))
     except Exception as e:  # pragma: no cover - environment dependent
         raise RuntimeError(
             f"Could not load HF checkpoint {repo!r} (offline environment?). "

@@ -349,7 +349,12 @@ class Wav2Vec2ForCTC(nn.Module):
 
 
 def init_params(cfg: Wav2Vec2Config, seed: int = 0, example_len: int = 4000):
-    """Random-init parameters (used when no checkpoint is available)."""
+    """Random-init parameters (used when no checkpoint is available).
+
+    The init is jitted: un-jitted flax init dispatches thousands of tiny
+    eager ops, which is minutes of round-trips on a remote-tunneled TPU.
+    """
     model = Wav2Vec2ForCTC(cfg)
     rng = jax.random.PRNGKey(seed)
-    return model.init(rng, jnp.zeros((1, example_len), jnp.float32))["params"]
+    init = jax.jit(model.init, static_argnums=())
+    return init(rng, jnp.zeros((1, example_len), jnp.float32))["params"]

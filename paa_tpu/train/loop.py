@@ -1,0 +1,383 @@
+"""Epoch orchestration: train → eval → track best → early stop → finalize.
+
+The TPU-native rebuild of the reference's ``main`` loop (reference:
+src/run_attack.py:13-279) and ``train_epoch`` (src/training_utils/
+train.py:103-182):
+
+  * every train batch is one fused XLA step (attack/step.py); metrics come
+    back as a scalar + a small int32 id grid, so the host does only WER
+    bookkeeping and artifact writing,
+  * eval runs clean and perturbed passes per epoch, preserving the
+    reference's asymmetries (eval adds ``p`` unclamped; targeted label
+    substitution applies to the *loss*, WER is always vs ground truth),
+  * best-perturbation tracking on pert-eval WER (targeted) / CTC
+    (untargeted) with early stopping (reference: run_attack.py:149-183),
+  * exact preemption resume: p, Adam state, epoch, best score and
+    history all checkpointed (train/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paa_tpu.attack import optimizers, step as attack_step
+from paa_tpu.config import AttackConfig, ConstraintParams, attack_size_value
+from paa_tpu.data import pipeline as pipeline_lib
+from paa_tpu.ops import projections, psycho, text as text_ops, wer as wer_ops
+from paa_tpu.parallel import mesh as mesh_lib
+from paa_tpu.train import artifacts, checkpoint, log_helpers, scoring
+
+logger = logging.getLogger("paa_tpu")
+
+
+@dataclasses.dataclass
+class RunResult:
+    best_epoch: int
+    test_clean: scoring.Scores
+    test_perturbed: scoring.Scores
+    perturbation: np.ndarray
+    history: dict
+
+
+def _targeted_labels(cfg: AttackConfig, batch_size: int, label_len: int):
+    texts = text_ops.clean_transcripts(
+        text_ops.targeted_texts(cfg.target, cfg.target_reps, batch_size)
+    )
+    labels, pads = text_ops.encode_batch(texts, pad_to=label_len)
+    if labels.shape[1] > label_len:
+        raise ValueError(
+            f"Targeted phrase needs {labels.shape[1]} label slots, split has {label_len}; "
+            "reduce --target_reps"
+        )
+    return labels, pads
+
+
+def _batch_wer(ids: np.ndarray, ref_texts: list[str]) -> float:
+    preds = [p.lower() for p in text_ops.decode_batch(ids)]
+    refs = [r.lower() for r in ref_texts]
+    return wer_ops.wer(preds, refs)
+
+
+class AttackRunner:
+    """Holds compiled steps + psychoacoustic tables for one config."""
+
+    def __init__(
+        self,
+        cfg: AttackConfig,
+        apply_fn,
+        model_params,
+        pipe: pipeline_lib.DataPipeline,
+        cparams: ConstraintParams | None = None,
+        use_mesh: bool = True,
+    ):
+        self.cfg = cfg
+        self.pipe = pipe
+        self.cparams = cparams if cparams is not None else ConstraintParams.create()
+        self.tables = psycho.build_tables(cfg)
+        n_dev = len(jax.devices())
+        if use_mesh and n_dev > 1 and cfg.batch_size % n_dev == 0:
+            mesh = mesh_lib.data_mesh()
+            self.train_step = attack_step.make_sharded_step(
+                cfg, apply_fn, model_params, self.tables, mesh
+            )
+            logger.info("data-parallel mesh over %d devices", n_dev)
+        else:
+            self.train_step = attack_step.make_train_step(
+                cfg, apply_fn, model_params, self.tables
+            )
+        self.eval_step = attack_step.make_eval_step(cfg, apply_fn, model_params)
+
+        L = pipe.train.labels.shape[1]
+        if cfg.attack_mode == "targeted":
+            tl, tp = _targeted_labels(cfg, cfg.batch_size, L)
+            self._tgt_labels, self._tgt_pads = jnp.asarray(tl), jnp.asarray(tp)
+        else:
+            self._tgt_labels = self._tgt_pads = None
+
+    # -- perturbation lifecycle ------------------------------------------
+
+    def init_perturbation(self, seed: int) -> jnp.ndarray:
+        """randn(1, audio_len), projected once at init (reference:
+        build.py:288-321). SNR/TV need a clean batch for their budget;
+        the reference would crash there (it passes None) — we project
+        against the first train batch instead."""
+        key = jax.random.PRNGKey(seed)
+        p = jax.random.normal(key, (1, self.pipe.audio_len), dtype=jnp.float32)
+        clean = None
+        if self.cfg.norm_type in ("snr", "tv"):
+            first = next(self.pipe.train.batches(self.cfg.batch_size))
+            clean = jnp.asarray(first.audio)
+        p = projections.perturbation_constraint(
+            p, clean, self.cfg, self.cparams, self.tables
+        )
+        logger.info("Perturbation waveform shape: %s", tuple(p.shape))
+        return p
+
+    # -- epochs ------------------------------------------------------------
+
+    def train_epoch(self, p, opt_state, epoch: int, shuffle_rng) -> tuple:
+        cfg = self.cfg
+        lr = jnp.float32(optimizers.step_lr(cfg, epoch))
+        ctc_scores, wer_scores, times = [], [], []
+        batches = self.pipe.train.batches(cfg.batch_size, shuffle_rng=shuffle_rng)
+        for batch in pipeline_lib.prefetch_to_device(batches):
+            t0 = time.perf_counter()
+            labels, pads = batch.labels, batch.label_paddings
+            if cfg.attack_mode == "targeted":
+                labels, pads = self._tgt_labels, self._tgt_pads
+            p, opt_state, m = self.train_step(
+                p, opt_state, batch.audio, labels, pads, batch.weights,
+                self.cparams, lr,
+            )
+            # host-side metrics (device->host copy of scalar + small ids);
+            # raw per-batch sums averaged over batches, exactly as the
+            # reference aggregates (train.py:146, :182)
+            w = np.asarray(batch.weights) > 0
+            ctc_scores.append(float(m.ctc_loss))
+            ref = [self.pipe.train.texts[i] for i in np.asarray(batch.indices)[w]]
+            wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], ref))
+            times.append(time.perf_counter() - t0)
+        avg = lambda v: sum(v) / max(len(v), 1)
+        return p, opt_state, scoring.Scores(avg(ctc_scores), avg(wer_scores)), avg(times)
+
+    def evaluate(self, split: pipeline_lib.Split, p, perturbed: bool) -> scoring.Scores:
+        """Reference: src/training_utils/evaluation.py:5-31. Clean pass
+        uses p=0; perturbed adds p unclamped. Targeted mode swaps the
+        loss labels (get_loss semantics) but WER stays vs ground truth."""
+        cfg = self.cfg
+        p_eff = p if perturbed else jnp.zeros_like(p)
+        ctc_scores, wer_scores = [], []
+        for batch in pipeline_lib.prefetch_to_device(split.batches(cfg.batch_size)):
+            labels, pads = batch.labels, batch.label_paddings
+            if cfg.attack_mode == "targeted":
+                labels, pads = self._tgt_labels, self._tgt_pads
+            m = self.eval_step(p_eff, batch.audio, labels, pads, batch.weights)
+            w = np.asarray(batch.weights) > 0
+            n_real = int(w.sum())
+            # reference averages per-batch sums (smaller final batch
+            # contributes its smaller sum) — reproduce exactly
+            ctc_scores.append(float(m.ctc_loss))
+            ref = [split.texts[i] for i in np.asarray(batch.indices)[w]]
+            wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], ref))
+        avg = lambda v: sum(v) / len(v) if v else float("inf")
+        return scoring.Scores(avg(ctc_scores), avg(wer_scores))
+
+    def inspect_samples(self, p, num_items: int, seed: int = 0) -> list[dict]:
+        """Random test samples: clean/perturbed audio + prediction triple
+        (reference: save.py:49-101)."""
+        split = self.pipe.test
+        rng = np.random.default_rng(seed)
+        n = min(num_items, len(split), self.cfg.batch_size)
+        idx = rng.choice(len(split), size=n, replace=False)
+        batch = split.collate(idx, self.cfg.batch_size)
+        w = np.asarray(batch.weights) > 0
+        clean_m = self.eval_step(
+            jnp.zeros_like(p), batch.audio, batch.labels, batch.label_paddings, batch.weights
+        )
+        pert_m = self.eval_step(
+            p, batch.audio, batch.labels, batch.label_paddings, batch.weights
+        )
+        p_np = np.asarray(p)[0]
+        clean_preds = text_ops.decode_batch(np.asarray(clean_m.greedy_ids))
+        pert_preds = text_ops.decode_batch(np.asarray(pert_m.greedy_ids))
+        out = []
+        for j in range(self.cfg.batch_size):
+            if not w[j]:
+                continue
+            row = int(batch.indices[j])
+            audio = batch.audio[j]
+            out.append(
+                dict(
+                    clean=audio,
+                    perturbed=np.clip(audio + p_np[: len(audio)], -1, 1),
+                    ground_truth=split.texts[row],
+                    clean_pred=clean_preds[j].lower(),
+                    pert_pred=pert_preds[j].lower(),
+                )
+            )
+        return out
+
+
+def run_attack(
+    cfg: AttackConfig,
+    apply_fn,
+    model_params,
+    pipe: pipeline_lib.DataPipeline,
+    save_dir: str,
+    cparams: ConstraintParams | None = None,
+    num_items_to_inspect: int = 12,
+    resume: bool = True,
+    init_p: np.ndarray | None = None,
+) -> RunResult:
+    """Full attack run with best-tracking, early stopping and artifacts
+    (reference: src/run_attack.py:13-279). ``init_p`` warm-starts from a
+    saved perturbation (the reference's --resume_from, build.py:296-299)."""
+    os.makedirs(save_dir, exist_ok=True)
+    runner = AttackRunner(cfg, apply_fn, model_params, pipe, cparams)
+    cparams = runner.cparams
+    size_str = attack_size_value(cfg, cparams)
+
+    if init_p is not None:
+        if init_p.shape[-1] != pipe.audio_len:
+            raise ValueError(
+                f"Loaded perturbation length {init_p.shape[-1]} != expected {pipe.audio_len}"
+            )
+        p = jnp.asarray(init_p, dtype=jnp.float32).reshape(1, -1)
+    else:
+        p = runner.init_perturbation(cfg.seed)
+    opt_state = optimizers.init_opt_state(cfg, p)
+
+    history = {
+        "train_ctc": [], "train_wer": [],
+        "eval_clean_ctc": [], "eval_clean_wer": [],
+        "eval_pert_ctc": [], "eval_pert_wer": [],
+    }
+    start_epoch = 0
+    best_epoch = -1
+    no_improve = 0
+    best_eval_score = scoring.initial_best(cfg.attack_mode)
+    best_p = np.asarray(p)
+
+    ckpt_path = os.path.join(save_dir, "attack_state.msgpack")
+    pert_path = os.path.join(save_dir, "perturbation.npy")
+    template = {
+        "p": p, "opt_state": opt_state, "epoch": 0, "best_epoch": -1,
+        "no_improve": 0, "best_eval_score": 0.0, "best_p": best_p,
+        "history": {k: np.zeros((0,), np.float64) for k in history},
+    }
+    found, path = checkpoint.discover_resume(save_dir)
+    if resume and found:
+        state = checkpoint.load_checkpoint(path, template)
+        p = jnp.asarray(state["p"])
+        opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        start_epoch = int(state["epoch"]) + 1
+        best_epoch = int(state["best_epoch"])
+        no_improve = int(state["no_improve"])
+        best_eval_score = float(state["best_eval_score"])
+        best_p = np.asarray(state["best_p"])
+        history = {k: list(np.asarray(v)) for k, v in state["history"].items()}
+        logger.info("Resuming from checkpoint: %s (epoch=%d)", path, start_epoch)
+
+    data_rng = np.random.default_rng(cfg.seed)
+    step_ms = 0.0
+    for epoch in range(start_epoch, cfg.num_epochs):
+        logger.info("starting epoch: %d", epoch)
+        p, opt_state, train_scores, step_time = runner.train_epoch(
+            p, opt_state, epoch, shuffle_rng=data_rng
+        )
+        step_ms = 1000.0 * step_time
+        clean = runner.evaluate(pipe.eval, p, perturbed=False)
+        pert = runner.evaluate(pipe.eval, p, perturbed=True)
+
+        history["train_ctc"].append(train_scores.ctc)
+        history["train_wer"].append(train_scores.wer)
+        history["eval_clean_ctc"].append(clean.ctc)
+        history["eval_clean_wer"].append(clean.wer)
+        history["eval_pert_ctc"].append(pert.ctc)
+        history["eval_pert_wer"].append(pert.wer)
+
+        log_helpers.log_epoch_metrics(
+            epoch, cfg.num_epochs,
+            train_ctc=train_scores.ctc, eval_ctc_clean=clean.ctc,
+            eval_ctc_perturbed=pert.ctc, train_wer=train_scores.wer,
+            eval_wer_clean=clean.wer, eval_wer_perturbed=pert.wer,
+            step_time_ms=step_ms,
+        )
+        artifacts.save_loss_plot(
+            {"ctc": history["train_ctc"], "wer": history["train_wer"]},
+            {"ctc": history["eval_clean_ctc"], "wer": history["eval_clean_wer"]},
+            {"ctc": history["eval_pert_ctc"], "wer": history["eval_pert_wer"]},
+            save_dir, cfg.norm_type,
+        )
+        artifacts.save_json_results(
+            save_dir, cfg.norm_type, size_str,
+            epoch=epoch, finished_training=False,
+            eval_score_clean={"ctc": clean.ctc, "wer": clean.wer},
+            eval_score_perturbed={
+                "ctc": scoring.best_agg(history["eval_pert_ctc"], cfg.attack_mode),
+                "wer": scoring.best_agg(history["eval_pert_wer"], cfg.attack_mode),
+            },
+            train_score={
+                "ctc": scoring.best_agg(history["train_ctc"], cfg.attack_mode),
+                "wer": scoring.best_agg(history["train_wer"], cfg.attack_mode),
+            },
+            steps_per_sec=(1000.0 / step_ms if step_ms else None),
+        )
+
+        current = pert.wer if cfg.attack_mode == "targeted" else pert.ctc
+        if scoring.is_better(current, best_eval_score, cfg.attack_mode):
+            no_improve = 0
+            best_eval_score = current
+            best_epoch = epoch
+            best_p = np.asarray(p)
+            checkpoint.save_perturbation(pert_path, p)
+            artifacts.save_epoch_bundle(save_dir, np.asarray(p)[0], cfg)
+            if num_items_to_inspect > 0:
+                artifacts.inspect_samples(
+                    save_dir,
+                    runner.inspect_samples(p, num_items_to_inspect),
+                    cfg.attack_mode, cfg.target, cfg.sr,
+                )
+        else:
+            no_improve += 1
+
+        checkpoint.save_checkpoint(
+            ckpt_path,
+            {
+                "p": p, "opt_state": opt_state, "epoch": epoch,
+                "best_epoch": best_epoch, "no_improve": no_improve,
+                "best_eval_score": best_eval_score, "best_p": best_p,
+                "history": {k: np.asarray(v) for k, v in history.items()},
+            },
+        )
+        if no_improve >= cfg.early_stopping:
+            logger.info("No improvements in %d epochs. Stopping early.", no_improve)
+            break
+
+    # -- finalize: best p on the test split (reference: run_attack.py:185-261)
+    p = jnp.asarray(best_p)
+    pert_test = runner.evaluate(pipe.test, p, perturbed=True)
+    clean_test = runner.evaluate(pipe.test, p, perturbed=False)
+
+    artifacts.save_loss_plot(
+        {"ctc": history["train_ctc"], "wer": history["train_wer"]},
+        {"ctc": history["eval_clean_ctc"], "wer": history["eval_clean_wer"]},
+        {"ctc": history["eval_pert_ctc"], "wer": history["eval_pert_wer"]},
+        save_dir, cfg.norm_type,
+        clean_test_loss={"ctc": clean_test.ctc, "wer": clean_test.wer},
+        perturbed_test_loss={"ctc": pert_test.ctc, "wer": pert_test.wer},
+    )
+    artifacts.save_json_results(
+        save_dir, cfg.norm_type, size_str,
+        epoch=best_epoch, finished_training=True, best_epoch=best_epoch,
+        best_train_score={
+            "ctc": scoring.best_agg(history["train_ctc"], cfg.attack_mode),
+            "wer": scoring.best_agg(history["train_wer"], cfg.attack_mode),
+        },
+        eval_score_clean={"ctc": clean_test.ctc, "wer": clean_test.wer},
+        eval_score_perturbed={"ctc": pert_test.ctc, "wer": pert_test.wer},
+        final_test_clean={"ctc": clean_test.ctc, "wer": clean_test.wer},
+        final_test_perturbed={"ctc": pert_test.ctc, "wer": pert_test.wer},
+        steps_per_sec=(1000.0 / step_ms if step_ms else None),
+    )
+    log_helpers.log_summary_metrics(
+        norm_type=cfg.norm_type, attack_size_string=str(size_str),
+        clean_ctc_test=clean_test.ctc, clean_wer_test=clean_test.wer,
+        pert_ctc_test=pert_test.ctc, pert_wer_test=pert_test.wer,
+        best_epoch=best_epoch,
+    )
+    return RunResult(
+        best_epoch=best_epoch,
+        test_clean=clean_test,
+        test_perturbed=pert_test,
+        perturbation=best_p,
+        history=history,
+    )

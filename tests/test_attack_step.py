@@ -43,9 +43,10 @@ def _run_steps(cfg, setup, n_steps=8, lr=None):
     p = jnp.zeros((1, T), jnp.float32)
     opt_state = optimizers.init_opt_state(cfg, p)
     lr = jnp.float32(lr if lr is not None else cfg.lr)
+    w = jnp.ones((B,), jnp.float32)
     losses = []
     for _ in range(n_steps):
-        p, opt_state, m = train(p, opt_state, audio, labels, pads, cparams, lr)
+        p, opt_state, m = train(p, opt_state, audio, labels, pads, w, cparams, lr)
         losses.append(float(m.ctc_loss))
     return p, losses
 
@@ -79,9 +80,10 @@ def test_targeted_pgd_decreases_loss(setup):
     p = jnp.zeros((1, T), jnp.float32)
     opt_state = optimizers.init_opt_state(cfg, p)
     losses = []
+    w = jnp.ones((B,), jnp.float32)
     for _ in range(8):
         p, opt_state, m = train(
-            p, opt_state, audio, jnp.asarray(t_labels), jnp.asarray(t_pads), cparams, jnp.float32(cfg.lr)
+            p, opt_state, audio, jnp.asarray(t_labels), jnp.asarray(t_pads), w, cparams, jnp.float32(cfg.lr)
         )
         losses.append(float(m.ctc_loss))
     assert losses[-1] < losses[0], losses
@@ -103,14 +105,15 @@ def test_pgd_update_closed_form(setup):
     train = attack_step.make_train_step(cfg, apply_fn, params, tables)
 
     p0 = jnp.zeros((1, T), jnp.float32)
+    w = jnp.ones((B,), jnp.float32)
     # compute the closed form first: the train step donates its p buffer
     grad = jax.grad(
-        lambda p: attack_step._loss_fn(p, audio, labels, pads, apply_fn, params, cfg)[0]
+        lambda p: attack_step._loss_fn(p, audio, labels, pads, w, apply_fn, params, cfg)[0]
     )(p0)
     expected = p0 + cfg.lr * jnp.sign(grad)
 
     opt_state = optimizers.init_opt_state(cfg, p0)
-    p1, _, _ = train(p0, opt_state, audio, labels, pads, cparams, jnp.float32(cfg.lr))
+    p1, _, _ = train(p0, opt_state, audio, labels, pads, w, cparams, jnp.float32(cfg.lr))
     np.testing.assert_allclose(np.asarray(p1), np.asarray(expected), atol=1e-7)
 
 
@@ -118,10 +121,11 @@ def test_eval_step_no_clamp(setup):
     mcfg, params, apply_fn, audio, labels, pads = setup
     cfg = AttackConfig()
     ev = attack_step.make_eval_step(cfg, apply_fn, params)
+    w = jnp.ones((B,), jnp.float32)
     big_p = jnp.full((1, T), 3.0, jnp.float32)  # beyond [-1, 1]
-    m = ev(big_p, audio, labels, pads)
+    m = ev(big_p, audio, labels, pads, w)
     assert np.isfinite(float(m.ctc_loss))
-    zero = ev(jnp.zeros((1, T), jnp.float32), audio, labels, pads)
+    zero = ev(jnp.zeros((1, T), jnp.float32), audio, labels, pads, w)
     assert float(zero.ctc_loss) != float(m.ctc_loss)
 
 
@@ -141,10 +145,11 @@ def test_sharded_step_matches_single(setup):
     p0 = jnp.zeros((1, T), jnp.float32)
     s0 = optimizers.init_opt_state(cfg, p0)
     lr = jnp.float32(cfg.lr)
-    p_a, _, m_a = single(p0, s0, audio, labels, pads, cparams, lr)
+    w = jnp.ones((B,), jnp.float32)
+    p_a, _, m_a = single(p0, s0, audio, labels, pads, w, cparams, lr)
     p_b, _, m_b = sharded(
         jnp.zeros((1, T), jnp.float32), optimizers.init_opt_state(cfg, p0),
-        audio, labels, pads, cparams, lr,
+        audio, labels, pads, w, cparams, lr,
     )
     np.testing.assert_allclose(float(m_a.ctc_loss), float(m_b.ctc_loss), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-7)
@@ -169,7 +174,8 @@ def test_sweep_step_matches_per_epsilon(setup):
     p_s = jnp.zeros((S, 1, T), jnp.float32)
     opt_s = jax.vmap(lambda p: optimizers.init_opt_state(cfg, p))(p_s)
     lr = jnp.float32(cfg.lr)
-    p_s, opt_s, m = sweep(p_s, opt_s, audio, labels, pads, cparams_s, lr)
+    w = jnp.ones((B,), jnp.float32)
+    p_s, opt_s, m = sweep(p_s, opt_s, audio, labels, pads, w, cparams_s, lr)
     assert m.ctc_loss.shape == (S,)
     # all cells see the same batch => identical pre-projection update;
     # per-cell projection enforces each epsilon
@@ -181,7 +187,7 @@ def test_sweep_step_matches_per_epsilon(setup):
     p1, _, m1 = single(
         jnp.zeros((1, T), jnp.float32),
         optimizers.init_opt_state(cfg, jnp.zeros((1, T), jnp.float32)),
-        audio, labels, pads, base._replace(linf_size=jnp.float32(epsilons[2])), lr,
+        audio, labels, pads, w, base._replace(linf_size=jnp.float32(epsilons[2])), lr,
     )
     np.testing.assert_allclose(np.asarray(p_s[2]), np.asarray(p1), atol=1e-7)
     np.testing.assert_allclose(float(m.ctc_loss[2]), float(m1.ctc_loss), rtol=1e-5)
