@@ -1,0 +1,104 @@
+"""Benchmark: attack steps/sec on the flagship config, single chip.
+
+Measures the fused attack step — Wav2Vec2-base forward, CTC loss (sum
+reduction), grad w.r.t. the universal perturbation, PGD update, and the
+Fletcher-Munson psychoacoustic projection — at the reference's production
+shape (batch 64 × 10 s of 16 kHz audio), i.e. one full iteration of the
+reference hot loop (reference: src/training_utils/train.py:126-180).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+
+Baseline: the reference publishes NO throughput numbers (SURVEY.md §6).
+``BASELINE_STEPS_PER_SEC`` is an engineering estimate of the reference's
+eager PyTorch pipeline on its actual hardware (1× A40, batch 64 of ~10 s
+clips): Wav2Vec2-base fwd+bwd ≈ 9 TFLOP/step at fp32 eager (≈25% MFU of
+A40's 37 TF/s TF32 ⇒ ~1.0 s) plus the per-batch scipy Fletcher-Munson
+interpolation round-trip over a (64, 513, 626) STFT (≈20M grid queries,
+~1 s on 2 CPUs; reference: src/core/projections.py:104-109) and CPU
+tokenize/decode — ≈2 s/step ⇒ 0.5 steps/s. The estimate is deliberately
+generous to the baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_STEPS_PER_SEC = 0.5
+
+B = int(os.environ.get("BENCH_BATCH", "64"))
+T = int(os.environ.get("BENCH_AUDIO_LEN", "160000"))  # 10 s @ 16 kHz
+NORM = os.environ.get("BENCH_NORM", "fletcher_munson")
+STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/paa_tpu_xla"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from paa_tpu.attack import optimizers, step as attack_step
+    from paa_tpu.config import AttackConfig, ConstraintParams
+    from paa_tpu.models import wav2vec2
+    from paa_tpu.ops import psycho, text
+
+    cfg = AttackConfig(norm_type=NORM, optimizer_type="pgd", lr=1e-4)
+    mcfg = wav2vec2.get_config("wav2vec2-base")
+    params = wav2vec2.init_params(mcfg, example_len=2000)
+    model = wav2vec2.Wav2Vec2ForCTC(mcfg)
+    apply_fn = lambda prm, a: model.apply({"params": prm}, a)
+    tables = psycho.build_tables(cfg)
+    cparams = ConstraintParams.create()
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32) * 0.1)
+    labels, pads = text.encode_batch(
+        ["the quick brown fox jumps over the lazy dog"] * B
+    )
+    labels, pads = jnp.asarray(labels), jnp.asarray(pads)
+    weights = jnp.ones((B,), jnp.float32)
+    p = jnp.zeros((1, T), jnp.float32)
+    opt = optimizers.init_opt_state(cfg, p)
+    train = attack_step.make_train_step(cfg, apply_fn, params, tables)
+    lr = jnp.float32(cfg.lr)
+
+    # Warmup / compile (slow the very first run; persistent-cached after).
+    p, opt, m = train(p, opt, audio, labels, pads, weights, cparams, lr)
+    _ = float(m.ctc_loss)  # force full sync (axon block_until_ready is lazy)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        p, opt, m = train(p, opt, audio, labels, pads, weights, cparams, lr)
+    _ = float(m.ctc_loss)
+    _ = float(jnp.sum(p))
+    dt = (time.perf_counter() - t0) / STEPS
+
+    steps_per_sec = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"attack steps/sec/chip (wav2vec2-base, B={B}, {T/16000:.0f}s "
+                    f"audio, {NORM} PGD, fused fwd+bwd+project)"
+                ),
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/sec",
+                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,11 +71,27 @@ def stft(
     pad = n_fft // 2
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     frames = num_frames(T, n_fft, hop_length)
-    # (frames, n_fft) gather index matrix — static, folded by XLA.
-    idx = (
-        np.arange(frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    )
-    framed = xp[..., idx]  # (..., frames, n_fft)
+
+    if n_fft % hop_length == 0:
+        # Fast path (production geometry): framing as R shifted static
+        # slices of a (chunks, hop) reshape — no gather. TPU scatter/
+        # gather lowering is the top compile- and run-time hazard here.
+        R = n_fft // hop_length
+        n_chunks = (frames - 1) + R  # chunks consumed by the last frame
+        need = n_chunks * hop_length
+        if xp.shape[-1] < need:
+            xp = jnp.pad(xp, [(0, 0)] * (x.ndim - 1) + [(0, need - xp.shape[-1])])
+        chunks = xp[..., :need].reshape(x.shape[:-1] + (n_chunks, hop_length))
+        framed = jnp.concatenate(
+            [chunks[..., r : r + frames, :] for r in range(R)], axis=-1
+        )  # (..., frames, n_fft)
+    else:
+        # General path: static gather index matrix, folded by XLA.
+        idx = (
+            np.arange(frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+        )
+        framed = xp[..., idx]  # (..., frames, n_fft)
+
     w = _prepared_window(n_fft, win_length, dtype=x.dtype)
     spec = jnp.fft.rfft(framed * w, n=n_fft, axis=-1)  # (..., frames, F)
     return jnp.swapaxes(spec, -1, -2)  # (..., F, frames)
@@ -110,21 +126,38 @@ def istft(
     x_frames = x_frames * w  # synthesis window
 
     total = hop_length * (frames - 1) + n_fft
-    starts = np.arange(frames) * hop_length
-    idx = starts[:, None] + np.arange(n_fft)[None, :]  # (frames, n_fft)
-
     batch_shape = spec.shape[:-2]
     flat = x_frames.reshape((-1, frames, n_fft))
 
-    def ola(fr):
-        y = jnp.zeros((total,), dtype=fr.dtype)
-        return y.at[idx.reshape(-1)].add(fr.reshape(-1))
+    if n_fft % hop_length == 0:
+        # Fast path: overlap-add as R shifted pad+add passes — no scatter.
+        R = n_fft // hop_length
 
-    y = jax.vmap(ola)(flat)  # (B*, total)
+        def ola_reshape(fr):  # fr: (B*, frames, n_fft)
+            fr = fr.reshape(fr.shape[0], frames, R, hop_length)
+            y = jnp.zeros((fr.shape[0], total), dtype=fr.dtype)
+            for r in range(R):
+                part = fr[:, :, r, :].reshape(fr.shape[0], frames * hop_length)
+                y = y + jnp.pad(
+                    part,
+                    ((0, 0), (r * hop_length, total - r * hop_length - frames * hop_length)),
+                )
+            return y
 
-    # window envelope (identical for every batch element)
-    env = jnp.zeros((total,), dtype=jnp.float32)
-    env = env.at[idx.reshape(-1)].add(jnp.tile(w * w, frames))
+        y = ola_reshape(flat)
+        env = ola_reshape(jnp.broadcast_to(w * w, (1, frames, n_fft)))[0]
+    else:
+        starts = np.arange(frames) * hop_length
+        idx = starts[:, None] + np.arange(n_fft)[None, :]  # (frames, n_fft)
+
+        def ola(fr):
+            y = jnp.zeros((total,), dtype=fr.dtype)
+            return y.at[idx.reshape(-1)].add(fr.reshape(-1))
+
+        y = jax.vmap(ola)(flat)  # (B*, total)
+        env = jnp.zeros((total,), dtype=jnp.float32)
+        env = env.at[idx.reshape(-1)].add(jnp.tile(w * w, frames))
+
     y = y / jnp.maximum(env, 1e-11)
 
     y = y[:, pad : pad + out_len]
