@@ -108,6 +108,9 @@ def create_arg_parser() -> argparse.ArgumentParser:
                         help="corpus size for --dataset synthetic")
     parser.add_argument("--no_resume", action="store_true",
                         help="ignore existing checkpoints in the save dir")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of the run into "
+                             "<save_dir>/profile (view with tensorboard)")
     return parser
 
 

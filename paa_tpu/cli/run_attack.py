@@ -119,13 +119,20 @@ def main(args) -> int:
             log.info("Resuming perturbation from: %s", args.resume_from)
             init_p = checkpoint.load_perturbation(args.resume_from)
 
-        result = loop.run_attack(
-            cfg, apply_fn, params, pipe, save_dir,
-            cparams=cparams,
-            num_items_to_inspect=args.num_items_to_inspect,
-            resume=not args.no_resume and not args.small_data,
-            init_p=init_p,
-        )
+        if args.profile:  # SURVEY.md §5.1: tracing the reference lacks
+            jax.profiler.start_trace(os.path.join(save_dir, "profile"))
+        try:
+            result = loop.run_attack(
+                cfg, apply_fn, params, pipe, save_dir,
+                cparams=cparams,
+                num_items_to_inspect=args.num_items_to_inspect,
+                resume=not args.no_resume and not args.small_data,
+                init_p=init_p,
+            )
+        finally:
+            if args.profile:
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s/profile", save_dir)
         return 0
     except Exception as e:  # failure report (reference: run_attack.py:265-279)
         log.exception("Run failed with an exception: %s", e)

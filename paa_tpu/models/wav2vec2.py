@@ -61,6 +61,10 @@ class Wav2Vec2Config:
     layer_norm_eps: float = 1e-5
     compute_dtype: str = "bfloat16"
     remat: bool = False
+    # "im2col": strided-slice patch extraction + one MXU matmul per conv
+    # layer (TPU-first; backward = pad + matmul, no transposed-conv
+    # lowering). "conv": lax.conv_general_dilated.
+    conv_impl: str = "im2col"
 
     @property
     def dtype(self) -> Dtype:
@@ -113,6 +117,17 @@ def get_config(name: str, **overrides) -> Wav2Vec2Config:
 # ---------------------------------------------------------------------------
 
 
+def _im2col(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
+    """Patch extraction as ``kernel`` strided slices — ``(B, T, C) →
+    (B, T_out, kernel·C)``. Strided slicing lowers to plain XLA slices
+    (backward: pad), so a VALID conv becomes im2col + one MXU matmul
+    with no conv/transposed-conv lowering anywhere in the program."""
+    B, T, C = x.shape
+    t_out = (T - kernel) // stride + 1
+    cols = [x[:, r : r + (t_out - 1) * stride + 1 : stride, :] for r in range(kernel)]
+    return jnp.concatenate(cols, axis=-1)  # (B, t_out, kernel*C)
+
+
 class ConvLayer(nn.Module):
     cfg: Wav2Vec2Config
     layer_id: int
@@ -121,16 +136,34 @@ class ConvLayer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, C_in)
         cfg = self.cfg
         out_ch = cfg.conv_dim[self.layer_id]
-        x = nn.Conv(
-            features=out_ch,
-            kernel_size=(cfg.conv_kernel[self.layer_id],),
-            strides=(cfg.conv_stride[self.layer_id],),
-            padding="VALID",
-            use_bias=cfg.conv_bias,
-            dtype=cfg.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        k = cfg.conv_kernel[self.layer_id]
+        s = cfg.conv_stride[self.layer_id]
+        if cfg.conv_impl == "im2col":
+            in_ch = x.shape[-1]
+            kernel = self.param(
+                "conv_kernel_im2col",
+                nn.initializers.lecun_normal(),
+                (k, in_ch, out_ch),
+                jnp.float32,
+            )
+            patches = _im2col(x.astype(cfg.dtype), k, s)  # (B, T', k*in)
+            w = kernel.reshape(k * in_ch, out_ch).astype(cfg.dtype)
+            x = jnp.dot(patches, w, preferred_element_type=jnp.float32)
+            x = x.astype(cfg.dtype)
+            if cfg.conv_bias:
+                bias = self.param("conv_bias", nn.initializers.zeros, (out_ch,), jnp.float32)
+                x = x + bias.astype(cfg.dtype)
+        else:
+            x = nn.Conv(
+                features=out_ch,
+                kernel_size=(k,),
+                strides=(s,),
+                padding="VALID",
+                use_bias=cfg.conv_bias,
+                dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if cfg.feat_extract_norm == "group" and self.layer_id == 0:
             # GroupNorm with num_groups == channels (per-channel instance
             # norm over time), as in the base checkpoint.

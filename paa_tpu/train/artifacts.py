@@ -208,3 +208,49 @@ def save_epoch_bundle(save_dir: str, p, cfg):
     save_audio(os.path.join(save_dir, "perturbation_5x.wav"), p, cfg.sr, amplify=5.0)
     plot_pert(os.path.join(save_dir, "perturbation.png"), p, cfg.sr)
     stft_plot(os.path.join(save_dir, "perturbation_stft"), p, cfg)
+
+
+def plot_debug_phon(mag_db, mag_db_clipped, scaled_thresh, cfg, save_dir, tag=""):
+    """3-panel before/after/diff debug plot for the max_phon projection
+    (reference: save.py:260-294)."""
+    if not HAVE_MPL:
+        return
+    mag_db_np = np.asarray(mag_db)[0]
+    clipped_np = np.asarray(mag_db_clipped)[0]
+    contour_np = np.asarray(scaled_thresh).reshape(-1)
+    frames = mag_db_np.shape[1]
+    freqs = np.fft.rfftfreq(cfg.n_fft, d=1.0 / cfg.sr)
+
+    fig, axs = plt.subplots(3, 1, figsize=(10, 12), constrained_layout=True)
+    extent = [0, frames, freqs[0], freqs[-1]]
+    axs[0].imshow(mag_db_np, aspect="auto", origin="lower", extent=extent, cmap="viridis")
+    axs[0].plot(np.arange(frames), [contour_np.mean()] * frames, color="r", label="Phon Threshold")
+    axs[0].set_title("Original STFT Magnitude (dB)")
+    axs[0].set_ylabel("Frequency (Hz)")
+    axs[0].legend()
+    axs[1].imshow(clipped_np, aspect="auto", origin="lower", extent=extent, cmap="viridis")
+    axs[1].set_title("Clipped STFT Magnitude (dB)")
+    axs[1].set_ylabel("Frequency (Hz)")
+    axs[2].imshow(mag_db_np - clipped_np, aspect="auto", origin="lower", extent=extent, cmap="coolwarm")
+    axs[2].set_title("Difference (Before - After)")
+    axs[2].set_xlabel("Time Frame")
+    axs[2].set_ylabel("Frequency (Hz)")
+    plt.suptitle(f"Phon-Level Constraint Debug {tag}", fontsize=16)
+    plt.savefig(os.path.join(save_dir, f"phon_projection_debug_{tag}.png"), bbox_inches="tight")
+    plt.close()
+
+
+def plot_fm_weights(freqs, weights, path="fm_weights.png"):
+    """Fletcher-Munson perceptual sensitivity curve
+    (reference: save.py:203-218)."""
+    if not HAVE_MPL:
+        return
+    plt.figure(figsize=(10, 4))
+    plt.plot(np.asarray(freqs), np.asarray(weights), label="Interpolated FM Weights", color="purple")
+    plt.title("Fletcher-Munson Perceptual Sensitivity Curve")
+    plt.xlabel("Frequency (Hz)")
+    plt.ylabel("Perceptual Sensitivity (Normalized)")
+    plt.grid(True)
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close()
