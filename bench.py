@@ -36,14 +36,10 @@ STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 
 
 def main() -> int:
+    from paa_tpu import runtime
+
+    runtime.configure()
     import jax
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/paa_tpu_xla"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
     import jax.numpy as jnp
     import numpy as np
 
@@ -69,16 +65,16 @@ def main() -> int:
     weights = jnp.ones((B,), jnp.float32)
     p = jnp.zeros((1, T), jnp.float32)
     opt = optimizers.init_opt_state(cfg, p)
-    train = attack_step.make_train_step(cfg, apply_fn, params, tables)
+    train = attack_step.make_train_step(cfg, apply_fn, tables)
     lr = jnp.float32(cfg.lr)
 
     # Warmup / compile (slow the very first run; persistent-cached after).
-    p, opt, m = train(p, opt, audio, labels, pads, weights, cparams, lr)
+    p, opt, m = train(params, p, opt, audio, labels, pads, weights, cparams, lr)
     _ = float(m.ctc_loss)  # force full sync (axon block_until_ready is lazy)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        p, opt, m = train(p, opt, audio, labels, pads, weights, cparams, lr)
+        p, opt, m = train(params, p, opt, audio, labels, pads, weights, cparams, lr)
     _ = float(m.ctc_loss)
     _ = float(jnp.sum(p))
     dt = (time.perf_counter() - t0) / STEPS

@@ -63,15 +63,20 @@ def _loss_fn(
 def make_train_step(
     cfg: AttackConfig,
     apply_fn: Callable,
-    params: Any,
     tables: PsychoTables,
 ) -> Callable:
     """Single-device train step:
-    ``(p, opt_state, audio, labels, label_paddings, cparams, lr)
-      -> (new_p, new_opt_state, StepMetrics)``.
+    ``(params, p, opt_state, audio, labels, label_paddings, weights,
+       cparams, lr) -> (new_p, new_opt_state, StepMetrics)``.
+
+    The frozen model parameters are an explicit jit ARGUMENT, never a
+    closure constant: closed-over arrays are serialized into the HLO as
+    literals, which on a remote-compile backend means shipping hundreds
+    of MB per program (and blowing request limits); as arguments they
+    stay device-resident and the program is tiny.
     """
 
-    def train_step(p, opt_state, audio, labels, label_paddings, weights, cparams, lr):
+    def train_step(params, p, opt_state, audio, labels, label_paddings, weights, cparams, lr):
         (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
             p, audio, labels, label_paddings, weights, apply_fn, params, cfg
         )
@@ -80,17 +85,17 @@ def make_train_step(
         metrics = StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
         return new_p, new_opt_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0, 1))
+    return jax.jit(train_step, donate_argnums=(1, 2))
 
 
-def make_eval_step(cfg: AttackConfig, apply_fn: Callable, params: Any) -> Callable:
+def make_eval_step(cfg: AttackConfig, apply_fn: Callable) -> Callable:
     """Eval step: loss + greedy ids with ``p`` added but NOT clamped —
     preserving the reference's train/eval asymmetry
     (reference: src/training_utils/evaluation.py:15-16).
     ``p=None``-style clean evaluation passes a zero perturbation.
     """
 
-    def eval_step(p, audio, labels, label_paddings, weights):
+    def eval_step(params, p, audio, labels, label_paddings, weights):
         logits = apply_fn(params, audio + p)
         per_example = ctc.ctc_loss(logits, labels, label_paddings, reduction="none")
         loss = jnp.sum(per_example * weights)
@@ -107,7 +112,6 @@ def make_eval_step(cfg: AttackConfig, apply_fn: Callable, params: Any) -> Callab
 def make_sharded_step(
     cfg: AttackConfig,
     apply_fn: Callable,
-    params: Any,
     tables: PsychoTables,
     mesh: Mesh,
 ) -> Callable:
@@ -122,7 +126,7 @@ def make_sharded_step(
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
 
-    def train_step(p, opt_state, audio, labels, label_paddings, weights, cparams, lr):
+    def train_step(params, p, opt_state, audio, labels, label_paddings, weights, cparams, lr):
         (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
             p, audio, labels, label_paddings, weights, apply_fn, params, cfg
         )
@@ -133,16 +137,15 @@ def make_sharded_step(
 
     return jax.jit(
         train_step,
-        in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, batch_sh, repl, repl),
+        in_shardings=(repl, repl, repl, batch_sh, batch_sh, batch_sh, batch_sh, repl, repl),
         out_shardings=(repl, repl, StepMetrics(ctc_loss=repl, greedy_ids=batch_sh)),
-        donate_argnums=(0, 1),
+        donate_argnums=(1, 2),
     )
 
 
 def make_sweep_step(
     cfg: AttackConfig,
     apply_fn: Callable,
-    params: Any,
     tables: PsychoTables,
     mesh: Mesh,
     sweep_tables_axis: int | None = None,
@@ -169,7 +172,7 @@ def make_sweep_step(
     else:
         tables_axes = None
 
-    def one_cell(p, opt_state, cparams, cell_tables, audio, labels, label_paddings, weights, lr):
+    def one_cell(params, p, opt_state, cparams, cell_tables, audio, labels, label_paddings, weights, lr):
         (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
             p, audio, labels, label_paddings, weights, apply_fn, params, cfg
         )
@@ -180,19 +183,19 @@ def make_sweep_step(
         metrics = StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
         return new_p, new_opt_state, metrics
 
-    def sweep_step(p_s, opt_state_s, audio, labels, label_paddings, weights, cparams_s, lr):
+    def sweep_step(params, p_s, opt_state_s, audio, labels, label_paddings, weights, cparams_s, lr):
         return jax.vmap(
             one_cell,
-            in_axes=(0, 0, 0, tables_axes, None, None, None, None, None),
+            in_axes=(None, 0, 0, 0, tables_axes, None, None, None, None, None),
             out_axes=(0, 0, StepMetrics(ctc_loss=0, greedy_ids=0)),
-        )(p_s, opt_state_s, cparams_s, tables, audio, labels, label_paddings, weights, lr)
+        )(params, p_s, opt_state_s, cparams_s, tables, audio, labels, label_paddings, weights, lr)
 
     sweep_metrics_sh = StepMetrics(
         ctc_loss=sweep_sh, greedy_ids=NamedSharding(mesh, P("sweep", "data"))
     )
     return jax.jit(
         sweep_step,
-        in_shardings=(sweep_sh, sweep_sh, audio_sh, audio_sh, audio_sh, audio_sh, sweep_sh, repl),
+        in_shardings=(repl, sweep_sh, sweep_sh, audio_sh, audio_sh, audio_sh, audio_sh, sweep_sh, repl),
         out_shardings=(sweep_sh, sweep_sh, sweep_metrics_sh),
-        donate_argnums=(0, 1),
+        donate_argnums=(1, 2),
     )

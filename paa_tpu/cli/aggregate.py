@@ -1,0 +1,85 @@
+"""Results aggregator — ``python -m paa_tpu.cli.aggregate [--root logs]``.
+
+Walks every run directory under the logs root, collects ``results.json``
+files, and prints the WER/CTC-vs-constraint table the reference's README
+leaves blank (README.md:91-100) — implementing the ``data_plots/
+grab_results.py`` the reference references but never committed
+(SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def collect(root: str) -> list[dict]:
+    rows = []
+    for dirpath, _dirs, files in os.walk(root):
+        if "results.json" not in files:
+            continue
+        try:
+            with open(os.path.join(dirpath, "results.json")) as f:
+                r = json.load(f)
+        except Exception:
+            continue
+        rel = os.path.relpath(dirpath, root)
+        parts = rel.split(os.sep)
+        rows.append(
+            {
+                "run": rel,
+                "attack_mode": parts[0] if len(parts) > 2 else "?",
+                "dataset": parts[1] if len(parts) > 2 else "?",
+                "norm_type": r.get("norm_type", "?"),
+                "attack_size": r.get("attack_size"),
+                "finished": bool(r.get("finished_training", False)),
+                "clean_ctc": (r.get("final_test_clean") or r.get("eval_score_clean") or {}).get("ctc"),
+                "clean_wer": (r.get("final_test_clean") or r.get("eval_score_clean") or {}).get("wer"),
+                "pert_ctc": (r.get("final_test_perturbed") or r.get("eval_score_perturbed") or {}).get("ctc"),
+                "pert_wer": (r.get("final_test_perturbed") or r.get("eval_score_perturbed") or {}).get("wer"),
+                "efficiency_ctc": (r.get("perturbation_efficiency") or {}).get("ctc")
+                if isinstance(r.get("perturbation_efficiency"), dict)
+                else r.get("perturbation_efficiency"),
+                "steps_per_sec": r.get("steps_per_sec"),
+                "error": r.get("error"),
+            }
+        )
+    return rows
+
+
+def render(rows: list[dict]) -> str:
+    fmt = lambda v: ("-" if v is None else (f"{v:.3f}" if isinstance(v, float) else str(v)))
+    header = (
+        f"{'norm':<16} {'size':>9} {'mode':<11} {'dataset':<13} "
+        f"{'cleanCTC':>9} {'pertCTC':>9} {'cleanWER':>9} {'pertWER':>9} {'eff':>6} {'done':>5}"
+    )
+    lines = [header, "-" * len(header)]
+    for r in sorted(rows, key=lambda r: (str(r["norm_type"]), r["attack_size"] or 0)):
+        lines.append(
+            f"{fmt(r['norm_type']):<16} {fmt(r['attack_size']):>9} {r['attack_mode']:<11} "
+            f"{r['dataset']:<13} {fmt(r['clean_ctc']):>9} {fmt(r['pert_ctc']):>9} "
+            f"{fmt(r['clean_wer']):>9} {fmt(r['pert_wer']):>9} "
+            f"{fmt(r['efficiency_ctc']):>6} {str(r['finished']):>5}"
+        )
+    return "\n".join(lines)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="logs", help="logs root to walk")
+    ap.add_argument("--json", default=None, help="also write aggregate JSON here")
+    args = ap.parse_args()
+    rows = collect(args.root)
+    if not rows:
+        print(f"no results.json found under {args.root!r}")
+        return 1
+    print(render(rows))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,19 +45,14 @@ def make_save_dir(args) -> str:
 
 
 def setup_jax(platform: str | None):
-    """Configure JAX: optional platform pin + persistent compile cache."""
+    """Configure JAX: optional platform pin + XLA tuning (paa_tpu.runtime)."""
+    from paa_tpu import runtime
+
+    runtime.configure()
     import jax
 
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/paa_tpu_xla")
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
     return jax
 
 

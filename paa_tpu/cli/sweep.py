@@ -119,7 +119,7 @@ def run_sweep(args) -> dict:
         n_sweep = S if n_dev % S == 0 and S <= n_dev else 1
         mesh = mesh_lib.sweep_mesh(n_sweep=n_sweep, n_devices=n_dev)
         step = attack_step.make_sweep_step(
-            cfg, apply_fn, params, tables, mesh, sweep_tables_axis=sweep_tables_axis
+            cfg, apply_fn, tables, mesh, sweep_tables_axis=sweep_tables_axis
         )
 
         # init: one projected perturbation per cell
@@ -147,8 +147,8 @@ def run_sweep(args) -> dict:
                 if cfg.attack_mode == "targeted":
                     labels, pads = tgt_labels, tgt_pads
                 p_s, opt_s, m = step(
-                    p_s, opt_s, batch.audio, labels, pads, batch.weights,
-                    cparams_s, lr,
+                    params, p_s, opt_s, batch.audio, labels, pads,
+                    batch.weights, cparams_s, lr,
                 )
                 n_steps += 1
             losses = np.asarray(m.ctc_loss)
@@ -157,10 +157,15 @@ def run_sweep(args) -> dict:
             log.info("[sweep %s] epoch %d ctc=%s", norm_type, epoch, losses.round(1))
         wall = time.perf_counter() - t_start
 
-        # per-cell artifacts + results
+        # per-cell final evaluation (clean once + perturbed per cell) + artifacts
+        from paa_tpu.train.loop import AttackRunner
+
+        runner = AttackRunner(cfg, apply_fn, params, pipe, base_cparams, use_mesh=False)
         p_np = np.asarray(p_s)
+        clean_eval = runner.evaluate(pipe.eval, jnp.zeros((1, pipe.audio_len)), perturbed=False)
         norm_summary = []
         for i, size in enumerate(sizes):
+            pert_eval = runner.evaluate(pipe.eval, jnp.asarray(p_np[i]), perturbed=True)
             cell_dir = os.path.join(
                 root, cfg.attack_mode, args.dataset,
                 f"{norm_type}_{size}_{cfg.attack_mode}_{cfg.optimizer_type}",
@@ -172,11 +177,14 @@ def run_sweep(args) -> dict:
                 cell_dir, norm_type, size,
                 epoch=cfg.num_epochs - 1, finished_training=True,
                 train_score={"ctc": scoring.best_agg(cell_ctc[i], cfg.attack_mode)},
+                eval_score_clean={"ctc": clean_eval.ctc, "wer": clean_eval.wer},
+                eval_score_perturbed={"ctc": pert_eval.ctc, "wer": pert_eval.wer},
                 sweep_steps_per_sec=n_steps * S / wall if wall else None,
             )
             norm_summary.append(
                 {"size": float(size), "final_ctc": cell_ctc[i][-1],
                  "best_ctc": scoring.best_agg(cell_ctc[i], cfg.attack_mode),
+                 "eval_pert_ctc": pert_eval.ctc, "eval_pert_wer": pert_eval.wer,
                  "dir": cell_dir}
             )
         summary[norm_type] = {

@@ -82,18 +82,17 @@ class AttackRunner:
         self.pipe = pipe
         self.cparams = cparams if cparams is not None else ConstraintParams.create()
         self.tables = psycho.build_tables(cfg)
+        self.model_params = model_params
         n_dev = len(jax.devices())
         if use_mesh and n_dev > 1 and cfg.batch_size % n_dev == 0:
             mesh = mesh_lib.data_mesh()
             self.train_step = attack_step.make_sharded_step(
-                cfg, apply_fn, model_params, self.tables, mesh
+                cfg, apply_fn, self.tables, mesh
             )
             logger.info("data-parallel mesh over %d devices", n_dev)
         else:
-            self.train_step = attack_step.make_train_step(
-                cfg, apply_fn, model_params, self.tables
-            )
-        self.eval_step = attack_step.make_eval_step(cfg, apply_fn, model_params)
+            self.train_step = attack_step.make_train_step(cfg, apply_fn, self.tables)
+        self.eval_step = attack_step.make_eval_step(cfg, apply_fn)
 
         L = pipe.train.labels.shape[1]
         if cfg.attack_mode == "targeted":
@@ -134,8 +133,8 @@ class AttackRunner:
             if cfg.attack_mode == "targeted":
                 labels, pads = self._tgt_labels, self._tgt_pads
             p, opt_state, m = self.train_step(
-                p, opt_state, batch.audio, labels, pads, batch.weights,
-                self.cparams, lr,
+                self.model_params, p, opt_state, batch.audio, labels, pads,
+                batch.weights, self.cparams, lr,
             )
             # host-side metrics (device->host copy of scalar + small ids);
             # raw per-batch sums averaged over batches, exactly as the
@@ -159,7 +158,9 @@ class AttackRunner:
             labels, pads = batch.labels, batch.label_paddings
             if cfg.attack_mode == "targeted":
                 labels, pads = self._tgt_labels, self._tgt_pads
-            m = self.eval_step(p_eff, batch.audio, labels, pads, batch.weights)
+            m = self.eval_step(
+                self.model_params, p_eff, batch.audio, labels, pads, batch.weights
+            )
             w = np.asarray(batch.weights) > 0
             n_real = int(w.sum())
             # reference averages per-batch sums (smaller final batch
@@ -180,10 +181,12 @@ class AttackRunner:
         batch = split.collate(idx, self.cfg.batch_size)
         w = np.asarray(batch.weights) > 0
         clean_m = self.eval_step(
-            jnp.zeros_like(p), batch.audio, batch.labels, batch.label_paddings, batch.weights
+            self.model_params, jnp.zeros_like(p), batch.audio, batch.labels,
+            batch.label_paddings, batch.weights,
         )
         pert_m = self.eval_step(
-            p, batch.audio, batch.labels, batch.label_paddings, batch.weights
+            self.model_params, p, batch.audio, batch.labels,
+            batch.label_paddings, batch.weights,
         )
         p_np = np.asarray(p)[0]
         clean_preds = text_ops.decode_batch(np.asarray(clean_m.greedy_ids))

@@ -38,7 +38,7 @@ def _run_steps(cfg, setup, n_steps=8, lr=None):
     mcfg, params, apply_fn, audio, labels, pads = setup
     tables = psycho.build_tables(cfg)
     cparams = ConstraintParams.create(linf_size=0.05, l2_size=2.0, snr_db=10.0)
-    train = attack_step.make_train_step(cfg, apply_fn, params, tables)
+    train = attack_step.make_train_step(cfg, apply_fn, tables)
 
     p = jnp.zeros((1, T), jnp.float32)
     opt_state = optimizers.init_opt_state(cfg, p)
@@ -46,7 +46,7 @@ def _run_steps(cfg, setup, n_steps=8, lr=None):
     w = jnp.ones((B,), jnp.float32)
     losses = []
     for _ in range(n_steps):
-        p, opt_state, m = train(p, opt_state, audio, labels, pads, w, cparams, lr)
+        p, opt_state, m = train(params, p, opt_state, audio, labels, pads, w, cparams, lr)
         losses.append(float(m.ctc_loss))
     return p, losses
 
@@ -76,14 +76,14 @@ def test_targeted_pgd_decreases_loss(setup):
     )
     tables = psycho.build_tables(cfg)
     cparams = ConstraintParams.create(linf_size=0.05)
-    train = attack_step.make_train_step(cfg, apply_fn, params, tables)
+    train = attack_step.make_train_step(cfg, apply_fn, tables)
     p = jnp.zeros((1, T), jnp.float32)
     opt_state = optimizers.init_opt_state(cfg, p)
     losses = []
     w = jnp.ones((B,), jnp.float32)
     for _ in range(8):
         p, opt_state, m = train(
-            p, opt_state, audio, jnp.asarray(t_labels), jnp.asarray(t_pads), w, cparams, jnp.float32(cfg.lr)
+            params, p, opt_state, audio, jnp.asarray(t_labels), jnp.asarray(t_pads), w, cparams, jnp.float32(cfg.lr)
         )
         losses.append(float(m.ctc_loss))
     assert losses[-1] < losses[0], losses
@@ -102,7 +102,7 @@ def test_pgd_update_closed_form(setup):
     cfg = AttackConfig(norm_type="linf", optimizer_type="pgd", lr=1e-3)
     tables = psycho.build_tables(cfg)
     cparams = ConstraintParams.create(linf_size=1.0)  # wide: projection no-op
-    train = attack_step.make_train_step(cfg, apply_fn, params, tables)
+    train = attack_step.make_train_step(cfg, apply_fn, tables)
 
     p0 = jnp.zeros((1, T), jnp.float32)
     w = jnp.ones((B,), jnp.float32)
@@ -113,19 +113,19 @@ def test_pgd_update_closed_form(setup):
     expected = p0 + cfg.lr * jnp.sign(grad)
 
     opt_state = optimizers.init_opt_state(cfg, p0)
-    p1, _, _ = train(p0, opt_state, audio, labels, pads, w, cparams, jnp.float32(cfg.lr))
+    p1, _, _ = train(params, p0, opt_state, audio, labels, pads, w, cparams, jnp.float32(cfg.lr))
     np.testing.assert_allclose(np.asarray(p1), np.asarray(expected), atol=1e-7)
 
 
 def test_eval_step_no_clamp(setup):
     mcfg, params, apply_fn, audio, labels, pads = setup
     cfg = AttackConfig()
-    ev = attack_step.make_eval_step(cfg, apply_fn, params)
+    ev = attack_step.make_eval_step(cfg, apply_fn)
     w = jnp.ones((B,), jnp.float32)
     big_p = jnp.full((1, T), 3.0, jnp.float32)  # beyond [-1, 1]
-    m = ev(big_p, audio, labels, pads, w)
+    m = ev(params, big_p, audio, labels, pads, w)
     assert np.isfinite(float(m.ctc_loss))
-    zero = ev(jnp.zeros((1, T), jnp.float32), audio, labels, pads, w)
+    zero = ev(params, jnp.zeros((1, T), jnp.float32), audio, labels, pads, w)
     assert float(zero.ctc_loss) != float(m.ctc_loss)
 
 
@@ -138,17 +138,17 @@ def test_sharded_step_matches_single(setup):
     tables = psycho.build_tables(cfg)
     cparams = ConstraintParams.create(linf_size=0.05)
 
-    single = attack_step.make_train_step(cfg, apply_fn, params, tables)
+    single = attack_step.make_train_step(cfg, apply_fn, tables)
     mesh = mesh_lib.data_mesh(8)
-    sharded = attack_step.make_sharded_step(cfg, apply_fn, params, tables, mesh)
+    sharded = attack_step.make_sharded_step(cfg, apply_fn, tables, mesh)
 
     p0 = jnp.zeros((1, T), jnp.float32)
     s0 = optimizers.init_opt_state(cfg, p0)
     lr = jnp.float32(cfg.lr)
     w = jnp.ones((B,), jnp.float32)
-    p_a, _, m_a = single(p0, s0, audio, labels, pads, w, cparams, lr)
+    p_a, _, m_a = single(params, p0, s0, audio, labels, pads, w, cparams, lr)
     p_b, _, m_b = sharded(
-        jnp.zeros((1, T), jnp.float32), optimizers.init_opt_state(cfg, p0),
+        params, jnp.zeros((1, T), jnp.float32), optimizers.init_opt_state(cfg, p0),
         audio, labels, pads, w, cparams, lr,
     )
     np.testing.assert_allclose(float(m_a.ctc_loss), float(m_b.ctc_loss), rtol=1e-5)
@@ -169,13 +169,13 @@ def test_sweep_step_matches_per_epsilon(setup):
     cparams_s = cparams_s._replace(linf_size=jnp.asarray(epsilons))
 
     mesh = mesh_lib.sweep_mesh(n_sweep=4, n_devices=8)
-    sweep = attack_step.make_sweep_step(cfg, apply_fn, params, tables, mesh)
+    sweep = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
 
     p_s = jnp.zeros((S, 1, T), jnp.float32)
     opt_s = jax.vmap(lambda p: optimizers.init_opt_state(cfg, p))(p_s)
     lr = jnp.float32(cfg.lr)
     w = jnp.ones((B,), jnp.float32)
-    p_s, opt_s, m = sweep(p_s, opt_s, audio, labels, pads, w, cparams_s, lr)
+    p_s, opt_s, m = sweep(params, p_s, opt_s, audio, labels, pads, w, cparams_s, lr)
     assert m.ctc_loss.shape == (S,)
     # all cells see the same batch => identical pre-projection update;
     # per-cell projection enforces each epsilon
@@ -183,9 +183,9 @@ def test_sweep_step_matches_per_epsilon(setup):
         assert float(jnp.max(jnp.abs(p_s[i]))) <= eps + 1e-7
 
     # cell results equal the single-device step with that epsilon
-    single = attack_step.make_train_step(cfg, apply_fn, params, tables)
+    single = attack_step.make_train_step(cfg, apply_fn, tables)
     p1, _, m1 = single(
-        jnp.zeros((1, T), jnp.float32),
+        params, jnp.zeros((1, T), jnp.float32),
         optimizers.init_opt_state(cfg, jnp.zeros((1, T), jnp.float32)),
         audio, labels, pads, w, base._replace(linf_size=jnp.float32(epsilons[2])), lr,
     )
