@@ -33,6 +33,11 @@ B = int(os.environ.get("BENCH_BATCH", "64"))
 T = int(os.environ.get("BENCH_AUDIO_LEN", "160000"))  # 10 s @ 16 kHz
 NORM = os.environ.get("BENCH_NORM", "fletcher_munson")
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+# Memory strategy at the production batch (16 GB HBM): rematerialize the
+# encoder layers in backward (recompute > stored attention probs), or
+# split the batch into accum microbatches — see AttackConfig.accum_steps.
+REMAT = os.environ.get("BENCH_REMAT", "1") == "1"
+ACCUM = int(os.environ.get("BENCH_ACCUM", "1"))
 
 
 def main() -> int:
@@ -48,8 +53,10 @@ def main() -> int:
     from paa_tpu.models import wav2vec2
     from paa_tpu.ops import psycho, text
 
-    cfg = AttackConfig(norm_type=NORM, optimizer_type="pgd", lr=1e-4)
-    mcfg = wav2vec2.get_config("wav2vec2-base")
+    cfg = AttackConfig(
+        norm_type=NORM, optimizer_type="pgd", lr=1e-4, remat=REMAT, accum_steps=ACCUM
+    )
+    mcfg = wav2vec2.get_config("wav2vec2-base", remat=REMAT)
     params = wav2vec2.init_params(mcfg, example_len=2000)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)
     apply_fn = lambda prm, a: model.apply({"params": prm}, a)

@@ -60,6 +60,51 @@ def _loss_fn(
     return loss, logits
 
 
+def _grad_and_metrics(
+    p: jnp.ndarray,
+    audio: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_paddings: jnp.ndarray,
+    weights: jnp.ndarray,
+    apply_fn: Callable,
+    params: Any,
+    cfg: AttackConfig,
+):
+    """``(loss, greedy_ids, ∂loss/∂p)`` with optional microbatching.
+
+    With ``cfg.accum_steps > 1`` the batch is processed in chunks under
+    ``lax.scan``, summing chunk losses and gradients — numerically the
+    same as the monolithic program (the 'sum' CTC reduction is linear in
+    the batch) while capping activation memory at chunk size.
+    """
+    A = cfg.accum_steps
+    if A <= 1:
+        (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
+            p, audio, labels, label_paddings, weights, apply_fn, params, cfg
+        )
+        return loss, ctc.greedy_ids(logits), grad
+
+    B = audio.shape[0]
+    if B % A != 0:
+        raise ValueError(f"batch size {B} not divisible by accum_steps {A}")
+    chunk = lambda x: x.reshape((A, B // A) + x.shape[1:])
+
+    def body(carry, xs):
+        loss_acc, grad_acc = carry
+        a, l, lp, w = xs
+        (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
+            p, a, l, lp, w, apply_fn, params, cfg
+        )
+        return (loss_acc + loss, grad_acc + grad), ctc.greedy_ids(logits)
+
+    (loss, grad), ids = jax.lax.scan(
+        body,
+        (jnp.zeros((), jnp.float32), jnp.zeros_like(p)),
+        (chunk(audio), chunk(labels), chunk(label_paddings), chunk(weights)),
+    )
+    return loss, ids.reshape((B,) + ids.shape[2:]), grad
+
+
 def make_train_step(
     cfg: AttackConfig,
     apply_fn: Callable,
@@ -77,12 +122,12 @@ def make_train_step(
     """
 
     def train_step(params, p, opt_state, audio, labels, label_paddings, weights, cparams, lr):
-        (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
+        loss, greedy, grad = _grad_and_metrics(
             p, audio, labels, label_paddings, weights, apply_fn, params, cfg
         )
         new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
         new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
-        metrics = StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
+        metrics = StepMetrics(ctc_loss=loss, greedy_ids=greedy)
         return new_p, new_opt_state, metrics
 
     return jax.jit(train_step, donate_argnums=(1, 2))
@@ -127,12 +172,12 @@ def make_sharded_step(
     batch_sh = NamedSharding(mesh, P("data"))
 
     def train_step(params, p, opt_state, audio, labels, label_paddings, weights, cparams, lr):
-        (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
+        loss, greedy, grad = _grad_and_metrics(
             p, audio, labels, label_paddings, weights, apply_fn, params, cfg
         )
         new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
         new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
-        metrics = StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
+        metrics = StepMetrics(ctc_loss=loss, greedy_ids=greedy)
         return new_p, new_opt_state, metrics
 
     return jax.jit(

@@ -102,6 +102,12 @@ def create_arg_parser() -> argparse.ArgumentParser:
                         choices=["bfloat16", "float32"])
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder layers (less HBM, more FLOPs)")
+    parser.add_argument("--accum_steps", type=int, default=1,
+                        help="split each batch into this many lax.scan microbatches, "
+                             "summing perturbation gradients (caps HBM at chunk size; "
+                             "numerically identical to the monolithic step)")
+    parser.add_argument("--use_pallas_fm", action="store_true",
+                        help="fused Pallas kernel for the Fletcher-Munson weighted norm")
     parser.add_argument("--save_root", type=str, default=None,
                         help="root dir for run artifacts (default: ./logs)")
     parser.add_argument("--synthetic_samples", type=int, default=512,
@@ -137,6 +143,8 @@ def config_from_args(args) -> AttackConfig:
         model_name=args.model,
         compute_dtype=args.compute_dtype,
         remat=args.remat,
+        accum_steps=args.accum_steps,
+        use_pallas_fm=args.use_pallas_fm,
     )
 
 

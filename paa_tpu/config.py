@@ -83,6 +83,19 @@ class AttackConfig:
     # (reference: src/training_utils/train.py:136)
     clamp_audio: bool = True
 
+    # Microbatch gradient accumulation inside the jitted step: the batch
+    # is split into ``accum_steps`` chunks driven by ``lax.scan``; chunk
+    # gradients w.r.t. the universal perturbation are summed (the CTC
+    # 'sum' reduction is linear, so the result is bit-comparable to the
+    # monolithic grad). Caps activation memory at chunk size — the knob
+    # to turn when a batch doesn't fit HBM.
+    accum_steps: int = 1
+
+    # use the fused Pallas kernel for the Fletcher-Munson weighted norm
+    # (ops/pallas/fm_norm.py); the jnp path is the reference semantics
+    # either way
+    use_pallas_fm: bool = False
+
     def __post_init__(self):
         if self.norm_type not in NORM_TYPES:
             raise ValueError(f"Unknown norm_type: {self.norm_type!r}")

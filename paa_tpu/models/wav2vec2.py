@@ -61,6 +61,14 @@ class Wav2Vec2Config:
     layer_norm_eps: float = 1e-5
     compute_dtype: str = "bfloat16"
     remat: bool = False
+    # Rematerialize the conv feature extractor in the backward pass.
+    # Differentiating w.r.t. the raw waveform (the attack's only grad)
+    # otherwise keeps every conv layer's im2col/pre-GELU activations
+    # alive — O(B·T·C) bf16 buffers that OOM a 16 GB chip at the
+    # reference's production batch (B=64, T=160k). The FE is <40% of the
+    # model FLOPs, so recomputing it once is cheap; forward-only calls
+    # are unaffected (remat has no effect without a backward pass).
+    remat_feature_extractor: bool = True
     # "im2col": strided-slice patch extraction + one MXU matmul per conv
     # layer (TPU-first; backward = pad + matmul, no transposed-conv
     # lowering). "conv": lax.conv_general_dilated.
@@ -369,7 +377,10 @@ class Wav2Vec2ForCTC(nn.Module):
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
-        x = FeatureExtractor(self.cfg, name="feature_extractor")(audio)
+        fe_cls = FeatureExtractor
+        if self.cfg.remat_feature_extractor:
+            fe_cls = nn.remat(FeatureExtractor, prevent_cse=False)
+        x = fe_cls(self.cfg, name="feature_extractor")(audio)
         x = FeatureProjection(self.cfg, name="feature_projection")(x)
         x = Encoder(self.cfg, name="encoder")(x)
         # CTC head in float32 for stable log-softmax downstream.

@@ -127,14 +127,21 @@ def project_fm_norm(
     stft_p: jnp.ndarray,
     tables: PsychoTables,
     fm_epsilon: jnp.ndarray,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Scale STFT(p) into the Fletcher-Munson weighted-norm ball.
 
     Reference: src/core/projections.py:116-133, with the perceptual
     weights computed fully on device (see ops/psycho.py) instead of the
-    reference's per-batch scipy round-trip.
+    reference's per-batch scipy round-trip. ``use_pallas`` switches to
+    the fused single-pass kernel (ops/pallas/fm_norm.py).
     """
-    norm = psycho.fm_weighted_norm(stft_p, tables)
+    if use_pallas:
+        from paa_tpu.ops.pallas import fm_norm as fm_pallas
+
+        norm = fm_pallas.fm_weighted_norm_pallas(stft_p, tables)
+    else:
+        norm = psycho.fm_weighted_norm(stft_p, tables)
     return _scale_into_ball(stft_p, norm, fm_epsilon)
 
 
@@ -183,7 +190,10 @@ def project_frequency_domain(
     if cfg.norm_type == "min_max_freqs":
         stft_p = project_min_max_freqs(stft_p, tables.bin_freqs, params.min_freq, params.max_freq)
     elif cfg.norm_type == "fletcher_munson":
-        stft_p = project_fm_norm(stft_p, tables, params.fm_epsilon)
+        stft_p = project_fm_norm(
+            stft_p, tables, params.fm_epsilon,
+            use_pallas=getattr(cfg, "use_pallas_fm", False),
+        )
     elif cfg.norm_type == "max_phon":
         stft_p = project_phon_level(stft_p, tables.spl_thresh, cfg.phon_reference_db)
     else:

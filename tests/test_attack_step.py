@@ -129,6 +129,53 @@ def test_eval_step_no_clamp(setup):
     assert float(zero.ctc_loss) != float(m.ctc_loss)
 
 
+def test_accum_steps_matches_monolithic(setup):
+    """Microbatched grad accumulation == the monolithic step (the 'sum'
+    CTC reduction is linear in the batch), including greedy ids order."""
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    base = AttackConfig(norm_type="linf", optimizer_type="pgd", lr=1e-3)
+    tables = psycho.build_tables(base)
+    cparams = ConstraintParams.create(linf_size=0.05)
+    w = jnp.ones((B,), jnp.float32)
+    lr = jnp.float32(base.lr)
+
+    results = {}
+    for accum in (1, 4):
+        cfg = base.replace(accum_steps=accum)
+        train = attack_step.make_train_step(cfg, apply_fn, tables)
+        p = jnp.zeros((1, T), jnp.float32)
+        opt = optimizers.init_opt_state(cfg, p)
+        p, opt, m = train(params, p, opt, audio, labels, pads, w, cparams, lr)
+        results[accum] = (np.asarray(p), float(m.ctc_loss), np.asarray(m.greedy_ids))
+
+    np.testing.assert_allclose(results[1][0], results[4][0], atol=1e-7)
+    np.testing.assert_allclose(results[1][1], results[4][1], rtol=1e-5)
+    np.testing.assert_array_equal(results[1][2], results[4][2])
+
+
+def test_remat_feature_extractor_matches(setup):
+    """FE remat changes memory, not values: identical loss and grad."""
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    w = jnp.ones((B,), jnp.float32)
+    cfg = AttackConfig(norm_type="linf", optimizer_type="pgd")
+    outs = []
+    for remat_fe in (False, True):
+        m2 = wav2vec2.Wav2Vec2ForCTC(
+            wav2vec2.get_config("wav2vec2-tiny", remat_feature_extractor=remat_fe)
+        )
+        fn = lambda prm, a: m2.apply({"params": prm}, a)
+        loss, grad = jax.jit(
+            jax.value_and_grad(
+                lambda p: attack_step._loss_fn(
+                    p, audio, labels, pads, w, fn, params, cfg
+                )[0]
+            )
+        )(jnp.zeros((1, T), jnp.float32))
+        outs.append((float(loss), np.asarray(grad)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4, atol=1e-5)
+
+
 # -- sharded variants ---------------------------------------------------------
 
 
