@@ -38,6 +38,9 @@ STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 # split the batch into accum microbatches — see AttackConfig.accum_steps.
 REMAT = os.environ.get("BENCH_REMAT", "1") == "1"
 ACCUM = int(os.environ.get("BENCH_ACCUM", "1"))
+ATTN = os.environ.get("BENCH_ATTN", "xla")  # "xla" | "flash"
+REMAT_FE = os.environ.get("BENCH_REMAT_FE", "1") == "1"
+REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "full")
 
 
 def main() -> int:
@@ -56,7 +59,10 @@ def main() -> int:
     cfg = AttackConfig(
         norm_type=NORM, optimizer_type="pgd", lr=1e-4, remat=REMAT, accum_steps=ACCUM
     )
-    mcfg = wav2vec2.get_config("wav2vec2-base", remat=REMAT)
+    mcfg = wav2vec2.get_config(
+        "wav2vec2-base", remat=REMAT, attention_impl=ATTN,
+        remat_feature_extractor=REMAT_FE, remat_policy=REMAT_POLICY,
+    )
     params = wav2vec2.init_params(mcfg, example_len=2000)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)
     apply_fn = lambda prm, a: model.apply({"params": prm}, a)

@@ -100,6 +100,10 @@ def create_arg_parser() -> argparse.ArgumentParser:
                         help="force a JAX platform (default: auto)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--attention_impl", type=str, default="xla",
+                        choices=["xla", "flash"],
+                        help="flash = Pallas TPU flash-attention kernel (O(T) "
+                             "attention memory; TPU only)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder layers (less HBM, more FLOPs)")
     parser.add_argument("--accum_steps", type=int, default=1,

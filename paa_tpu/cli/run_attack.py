@@ -61,7 +61,10 @@ def load_model_bundle(args):
     random init (zero-egress fallback; models/convert.py)."""
     log = logging.getLogger("paa_tpu")
     mcfg = wav2vec2.get_config(
-        args.model, compute_dtype=args.compute_dtype, remat=args.remat
+        args.model,
+        compute_dtype=args.compute_dtype,
+        remat=args.remat,
+        attention_impl=args.attention_impl,
     )
     params = None
     if args.model != "wav2vec2-tiny":  # tiny is test-only, never pretrained

@@ -55,16 +55,12 @@ def convert_hf_state_dict(sd: dict, cfg: Wav2Vec2Config) -> dict:
     fe: dict = {}
     for i in range(len(cfg.conv_dim)):
         pre = f"wav2vec2.feature_extractor.conv_layers.{i}"
-        # torch Conv1d (out, in, K) → our (K, in, out) layout
+        # torch Conv1d (out, in, K) → our (K, in, out) WIO layout, which
+        # every conv_impl shares (models/wav2vec2.py ConvLayer)
         w = get(f"{pre}.conv.weight").transpose(2, 1, 0)
-        if cfg.conv_impl == "im2col":
-            layer = {"conv_kernel_im2col": w}
-            if cfg.conv_bias:
-                layer["conv_bias"] = get(f"{pre}.conv.bias")
-        else:
-            layer = {"conv": {"kernel": w}}
-            if cfg.conv_bias:
-                layer["conv"]["bias"] = get(f"{pre}.conv.bias")
+        layer = {"conv_kernel": w}
+        if cfg.conv_bias:
+            layer["conv_bias"] = get(f"{pre}.conv.bias")
         if (cfg.feat_extract_norm == "group" and i == 0) or cfg.feat_extract_norm == "layer":
             layer["layer_norm"] = norm(f"{pre}.layer_norm")
         fe[f"conv_layers_{i}"] = layer

@@ -117,20 +117,22 @@ def test_bf16_compute_close_to_fp32():
     assert float(jnp.mean(jnp.abs(l16 - l32))) < 0.1 * float(jnp.mean(jnp.abs(l32)) + 1e-6)
 
 
-def test_im2col_matches_conv_impl():
-    """Both feature-extractor implementations produce identical logits."""
+def test_conv_impls_match():
+    """All three conv lowerings share one param layout and agree."""
     import torch as _torch
     from transformers import Wav2Vec2ForCTC as TorchW2V
 
     cfg_a = wav2vec2.get_config("wav2vec2-tiny", conv_impl="im2col")
-    cfg_b = wav2vec2.get_config("wav2vec2-tiny", conv_impl="conv")
     _torch.manual_seed(0)
     tm = TorchW2V(_hf_config(cfg_a)).eval()
     pa = convert.convert_hf_state_dict(tm.state_dict(), cfg_a)
-    pb = convert.convert_hf_state_dict(tm.state_dict(), cfg_b)
     audio = jnp.asarray(
         np.random.default_rng(0).standard_normal((2, 4000)).astype(np.float32) * 0.1
     )
     la = wav2vec2.Wav2Vec2ForCTC(cfg_a).apply({"params": pa}, audio)
-    lb = wav2vec2.Wav2Vec2ForCTC(cfg_b).apply({"params": pb}, audio)
-    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5)
+    for impl in ("conv", "tapdot"):
+        cfg_b = wav2vec2.get_config("wav2vec2-tiny", conv_impl=impl)
+        lb = wav2vec2.Wav2Vec2ForCTC(cfg_b).apply({"params": pa}, audio)
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5, err_msg=impl
+        )
