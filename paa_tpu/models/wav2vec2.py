@@ -295,6 +295,34 @@ class PositionalConvEmbedding(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+@jax.custom_vjp
+def _softmax_bf16(scores: jnp.ndarray) -> jnp.ndarray:
+    """Softmax computed in f32 but emitted — and SAVED — in bfloat16.
+
+    Plain ``softmax(x.astype(f32)).astype(bf16)`` keeps the f32 output
+    alive as the softmax VJP residual *in addition to* the bf16 copy the
+    attention dot needs — an extra O(B·H·T²) f32 buffer. The custom VJP
+    evaluates the exact softmax gradient from the bf16 probabilities
+    instead (their quantization error is ~1e-3 relative, far below the
+    bf16 matmul noise already present in the backward pass)."""
+    return jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(jnp.bfloat16)
+
+
+def _softmax_bf16_fwd(scores):
+    out = _softmax_bf16(scores)
+    return out, out
+
+
+def _softmax_bf16_bwd(probs, g):
+    p = probs.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    dx = p * (g - jnp.sum(g * p, axis=-1, keepdims=True))
+    return (dx,)
+
+
+_softmax_bf16.defvjp(_softmax_bf16_fwd, _softmax_bf16_bwd)
+
+
 class SelfAttention(nn.Module):
     cfg: Wav2Vec2Config
 
@@ -321,7 +349,12 @@ class SelfAttention(nn.Module):
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
             )
             scores = checkpoint_name(scores, "attn_scores")
-            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+            if cfg.dtype == jnp.bfloat16:
+                probs = _softmax_bf16(scores)
+            else:
+                probs = jax.nn.softmax(
+                    scores.astype(jnp.float32), axis=-1
+                ).astype(cfg.dtype)
             probs = checkpoint_name(probs, "attn_probs")
             ctx = jnp.einsum(
                 "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32

@@ -125,10 +125,14 @@ class AttackRunner:
     def train_epoch(self, p, opt_state, epoch: int, shuffle_rng) -> tuple:
         cfg = self.cfg
         lr = jnp.float32(optimizers.step_lr(cfg, epoch))
-        ctc_scores, wer_scores, times = [], [], []
         batches = self.pipe.train.batches(cfg.batch_size, shuffle_rng=shuffle_rng)
+        # Steps are dispatched back-to-back; metrics stay as device arrays
+        # until the epoch ends (a per-batch float()/np.asarray() would
+        # sync the host into every step and stall the dispatch pipeline).
+        pending = []
+        t0 = time.perf_counter()
+        n_steps = 0
         for batch in pipeline_lib.prefetch_to_device(batches):
-            t0 = time.perf_counter()
             labels, pads = batch.labels, batch.label_paddings
             if cfg.attack_mode == "targeted":
                 labels, pads = self._tgt_labels, self._tgt_pads
@@ -136,16 +140,20 @@ class AttackRunner:
                 self.model_params, p, opt_state, batch.audio, labels, pads,
                 batch.weights, self.cparams, lr,
             )
-            # host-side metrics (device->host copy of scalar + small ids);
-            # raw per-batch sums averaged over batches, exactly as the
-            # reference aggregates (train.py:146, :182)
-            w = np.asarray(batch.weights) > 0
+            pending.append((m, np.asarray(batch.weights) > 0, batch.indices))
+            n_steps += 1
+        jax.block_until_ready(p)
+        wall = time.perf_counter() - t0
+        # raw per-batch sums averaged over batches, exactly as the
+        # reference aggregates (train.py:146, :182)
+        ctc_scores, wer_scores = [], []
+        for m, w, indices in pending:
             ctc_scores.append(float(m.ctc_loss))
-            ref = [self.pipe.train.texts[i] for i in np.asarray(batch.indices)[w]]
+            ref = [self.pipe.train.texts[i] for i in np.asarray(indices)[w]]
             wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], ref))
-            times.append(time.perf_counter() - t0)
         avg = lambda v: sum(v) / max(len(v), 1)
-        return p, opt_state, scoring.Scores(avg(ctc_scores), avg(wer_scores)), avg(times)
+        step_time = wall / max(n_steps, 1)
+        return p, opt_state, scoring.Scores(avg(ctc_scores), avg(wer_scores)), step_time
 
     def evaluate(self, split: pipeline_lib.Split, p, perturbed: bool) -> scoring.Scores:
         """Reference: src/training_utils/evaluation.py:5-31. Clean pass
@@ -153,7 +161,7 @@ class AttackRunner:
         loss labels (get_loss semantics) but WER stays vs ground truth."""
         cfg = self.cfg
         p_eff = p if perturbed else jnp.zeros_like(p)
-        ctc_scores, wer_scores = [], []
+        pending = []
         for batch in pipeline_lib.prefetch_to_device(split.batches(cfg.batch_size)):
             labels, pads = batch.labels, batch.label_paddings
             if cfg.attack_mode == "targeted":
@@ -161,12 +169,14 @@ class AttackRunner:
             m = self.eval_step(
                 self.model_params, p_eff, batch.audio, labels, pads, batch.weights
             )
-            w = np.asarray(batch.weights) > 0
-            n_real = int(w.sum())
-            # reference averages per-batch sums (smaller final batch
-            # contributes its smaller sum) — reproduce exactly
+            pending.append((m, np.asarray(batch.weights) > 0, batch.indices))
+        # reference averages per-batch sums (smaller final batch
+        # contributes its smaller sum) — reproduce exactly; metrics are
+        # materialized only after every step is dispatched
+        ctc_scores, wer_scores = [], []
+        for m, w, indices in pending:
             ctc_scores.append(float(m.ctc_loss))
-            ref = [split.texts[i] for i in np.asarray(batch.indices)[w]]
+            ref = [split.texts[i] for i in np.asarray(indices)[w]]
             wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], ref))
         avg = lambda v: sum(v) / len(v) if v else float("inf")
         return scoring.Scores(avg(ctc_scores), avg(wer_scores))
