@@ -142,7 +142,10 @@ class AttackRunner:
             )
             pending.append((m, np.asarray(batch.weights) > 0, batch.indices))
             n_steps += 1
-        jax.block_until_ready(p)
+        # force a device→host scalar before reading the clock: plain
+        # block_until_ready is unreliable on the tunneled axon platform
+        if pending:
+            _ = float(pending[-1][0].ctc_loss)
         wall = time.perf_counter() - t0
         # raw per-batch sums averaged over batches, exactly as the
         # reference aggregates (train.py:146, :182)
