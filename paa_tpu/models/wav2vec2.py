@@ -60,6 +60,17 @@ class Wav2Vec2Config:
     num_conv_pos_embeddings: int = 128
     num_conv_pos_embedding_groups: int = 16
     layer_norm_eps: float = 1e-5
+    # Zero-mean/unit-variance normalization of the input waveform — what
+    # HF's Wav2Vec2Processor (feature extractor, do_normalize=True)
+    # applies for the lv60 checkpoints before the model. The reference
+    # bypasses the processor in its train/eval paths and feeds raw
+    # waveforms (reference: src/core/loss_helpers.py:21,56 vs the
+    # processor-based get_logits at :35-40 — the preprocessing
+    # inconsistency SURVEY.md §3.3 says to resolve deliberately). We put
+    # the normalization INSIDE the differentiable forward so `clean + p`
+    # is normalized exactly as the processor would, gradients included.
+    # False for base (its HF processor has do_normalize=False).
+    do_normalize: bool = False
     compute_dtype: str = "bfloat16"
     remat: bool = False
     # With remat on: "full" recomputes the whole encoder layer in
@@ -118,6 +129,7 @@ PRESETS = {
         conv_bias=True,
         feat_extract_norm="layer",
         do_stable_layer_norm=True,
+        do_normalize=True,
     ),
     # Tiny config for tests / CI.
     "wav2vec2-tiny": Wav2Vec2Config(
@@ -478,6 +490,10 @@ class Wav2Vec2ForCTC(nn.Module):
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.do_normalize:
+            mu = jnp.mean(audio, axis=-1, keepdims=True)
+            var = jnp.var(audio, axis=-1, keepdims=True)
+            audio = (audio - mu) * jax.lax.rsqrt(var + 1e-7)
         fe_cls = FeatureExtractor
         if self.cfg.remat_feature_extractor:
             fe_cls = nn.remat(FeatureExtractor, prevent_cse=False)

@@ -117,6 +117,25 @@ def test_bf16_compute_close_to_fp32():
     assert float(jnp.mean(jnp.abs(l16 - l32))) < 0.1 * float(jnp.mean(jnp.abs(l32)) + 1e-6)
 
 
+def test_do_normalize_scale_invariance():
+    """With do_normalize, logits are invariant to input gain (the HF
+    lv60 processor semantic); without it they are not."""
+    cfg_n = wav2vec2.get_config("wav2vec2-tiny", do_normalize=True)
+    cfg_r = wav2vec2.get_config("wav2vec2-tiny", do_normalize=False)
+    params = wav2vec2.init_params(cfg_r, example_len=2000)
+    audio = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 2000)).astype(np.float32) * 0.1
+    )
+    mn = wav2vec2.Wav2Vec2ForCTC(cfg_n)
+    l1 = mn.apply({"params": params}, audio)
+    l2 = mn.apply({"params": params}, audio * 7.5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-4)
+    mr = wav2vec2.Wav2Vec2ForCTC(cfg_r)
+    r1 = mr.apply({"params": params}, audio)
+    r2 = mr.apply({"params": params}, audio * 7.5)
+    assert np.abs(np.asarray(r1) - np.asarray(r2)).max() > 1e-3
+
+
 def test_conv_impls_match():
     """All three conv lowerings share one param layout and agree."""
     import torch as _torch
