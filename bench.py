@@ -60,7 +60,8 @@ def main() -> int:
     from paa_tpu.ops import psycho, text
 
     cfg = AttackConfig(
-        norm_type=NORM, optimizer_type="pgd", lr=1e-4, remat=REMAT, accum_steps=ACCUM
+        norm_type=NORM, optimizer_type="pgd", lr=1e-4, remat=REMAT,
+        accum_steps=ACCUM, use_pallas_fm=True,  # bench always runs on TPU
     )
     mcfg = wav2vec2.get_config(
         "wav2vec2-base", remat=REMAT, attention_impl=ATTN,

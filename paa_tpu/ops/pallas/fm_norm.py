@@ -52,8 +52,9 @@ def _kernel(re_ref, im_ref, table_ref, dom_ref, tmask_ref, out_ref):
     valid = (spl >= 0.0) & (spl <= 90.0) & (dom_ref[0][:, None] > 0.5)
     w = jnp.where(valid, w, 1.0)
 
-    # zero out the padded tail of the last T tile
-    out_ref[0, 0] = jnp.sum(w * power * tmask_ref[0][None, :])
+    # zero out the padded tail of the last T tile; the sum is stored as
+    # a (1, 1) vector block (Mosaic cannot store bare scalars to VMEM)
+    out_ref[0, 0] = jnp.sum(w * power * tmask_ref[0][None, :]).reshape(1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -82,6 +83,11 @@ def fm_weighted_power_sum(
         )
     else:
         spec = lambda block, index_map: pl.BlockSpec(block, index_map)
+    # The per-(b, t) partial sum is written as a (B, n_t, 1, 1) array so
+    # the block's LAST TWO dims (1, 1) equal the array's — Mosaic rejects
+    # scalar blocks whose trailing dims neither tile to (8, 128) nor
+    # span the array (e.g. a (1, 1) block of a (B, n_t) output).
+    out_spec = spec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0))
 
     partials = pl.pallas_call(
         _kernel,
@@ -93,8 +99,8 @@ def fm_weighted_power_sum(
             spec((1, F), lambda b, t: (0, 0)),
             spec((1, T_TILE), lambda b, t: (0, t)),
         ],
-        out_specs=spec((1, 1), lambda b, t: (b, t)),
-        out_shape=jax.ShapeDtypeStruct((B, n_t), jnp.float32),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_t, 1, 1), jnp.float32),
         interpret=interpret,
         **kwargs,
     )(re, im, table, in_domain.reshape(1, F), tmask)
