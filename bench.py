@@ -44,6 +44,7 @@ ACCUM = int(os.environ.get("BENCH_ACCUM", "2"))
 ATTN = os.environ.get("BENCH_ATTN", "xla")  # "xla" | "flash"
 REMAT_FE = os.environ.get("BENCH_REMAT_FE", "1") == "1"
 REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "full")
+PALLAS_FM = os.environ.get("BENCH_PALLAS_FM")  # default: on unless CPU backend
 
 
 def main() -> int:
@@ -59,9 +60,12 @@ def main() -> int:
     from paa_tpu.models import wav2vec2
     from paa_tpu.ops import psycho, text
 
+    use_pallas_fm = (
+        PALLAS_FM == "1" if PALLAS_FM is not None else jax.default_backend() != "cpu"
+    )
     cfg = AttackConfig(
         norm_type=NORM, optimizer_type="pgd", lr=1e-4, remat=REMAT,
-        accum_steps=ACCUM, use_pallas_fm=True,  # bench always runs on TPU
+        accum_steps=ACCUM, use_pallas_fm=use_pallas_fm,
     )
     mcfg = wav2vec2.get_config(
         "wav2vec2-base", remat=REMAT, attention_impl=ATTN,
