@@ -357,9 +357,12 @@ class SelfAttention(nn.Module):
         if cfg.attention_impl == "flash":
             ctx = _flash_attention(q, k, v, cfg.dtype)
         else:
-            scores = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-            )
+            # scores stay in compute dtype (bf16): the O(T²) buffer is
+            # the encoder's largest HBM write/read, and the softmax
+            # below re-subtracts the row max in f32 anyway — bf16's
+            # ~3-digit mantissa on pre-softmax logits is well under the
+            # noise of the bf16 matmuls that produced q and k.
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
             scores = checkpoint_name(scores, "attn_scores")
             if cfg.dtype == jnp.bfloat16:
                 probs = _softmax_bf16(scores)
