@@ -144,6 +144,10 @@ def main(args) -> int:
         return 1
 
 
+def _console_main() -> int:
+    """console_scripts entry (pyproject [project.scripts])."""
+    return main(parser_lib.create_arg_parser().parse_args())
+
+
 if __name__ == "__main__":
-    cli_args = parser_lib.create_arg_parser().parse_args()
-    sys.exit(main(cli_args))
+    sys.exit(_console_main())

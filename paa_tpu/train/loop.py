@@ -19,6 +19,7 @@ train.py:103-182):
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
 import os
 import time
@@ -307,6 +308,17 @@ def run_attack(
             eval_wer_clean=clean.wer, eval_wer_perturbed=pert.wer,
             step_time_ms=step_ms,
         )
+        # machine-readable metric stream (one JSON line per epoch) — the
+        # observability channel the reference stubs but never ships
+        # (run_attack.py:6 imports a nonexistent tensor_board_logging)
+        with open(os.path.join(save_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "epoch": epoch, "train_ctc": train_scores.ctc,
+                "train_wer": train_scores.wer, "eval_clean_ctc": clean.ctc,
+                "eval_clean_wer": clean.wer, "eval_pert_ctc": pert.ctc,
+                "eval_pert_wer": pert.wer, "step_time_ms": step_ms,
+                "lr": optimizers.step_lr(cfg, epoch),
+            }) + "\n")
         artifacts.save_loss_plot(
             {"ctc": history["train_ctc"], "wer": history["train_wer"]},
             {"ctc": history["eval_clean_ctc"], "wer": history["eval_clean_wer"]},

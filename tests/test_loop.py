@@ -35,6 +35,18 @@ def _cfg(**kw):
     return AttackConfig(**base)
 
 
+def test_metrics_jsonl_written(tmp_path, bundle):
+    apply_fn, params, pipe = bundle
+    cfg = _cfg(num_epochs=2)
+    loop.run_attack(cfg, apply_fn, params, pipe, str(tmp_path), resume=False,
+                    num_items_to_inspect=0)
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert len(lines) == 2
+    assert lines[1]["epoch"] == 1
+    for k in ("train_ctc", "eval_pert_wer", "step_time_ms", "lr"):
+        assert k in lines[0]
+
+
 def test_run_attack_end_to_end(tmp_path, bundle):
     apply_fn, params, pipe = bundle
     cfg = _cfg()
