@@ -220,15 +220,42 @@ class ConvLayer(nn.Module):
         if cfg.feat_extract_norm == "group" and self.layer_id == 0:
             # GroupNorm with num_groups == channels (per-channel instance
             # norm over time), as in the base checkpoint.
-            x = nn.GroupNorm(
-                num_groups=out_ch, epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                name="layer_norm",
-            )(x)
+            x = _FeNorm(axis=1, eps=cfg.layer_norm_eps, out_dtype=cfg.dtype,
+                        name="layer_norm")(x)
         elif cfg.feat_extract_norm == "layer":
-            x = nn.LayerNorm(
-                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm"
-            )(x)
+            x = _FeNorm(axis=-1, eps=cfg.layer_norm_eps, out_dtype=cfg.dtype,
+                        name="layer_norm")(x)
         return nn.gelu(x, approximate=False)
+
+
+class _FeNorm(nn.Module):
+    """Feature-extractor normalization with f32 statistics but a
+    compute-dtype OUTPUT.
+
+    Functionally ``nn.GroupNorm(num_groups=C)`` over time (``axis=1``) or
+    ``nn.LayerNorm`` over channels (``axis=-1``) followed by a cast —
+    but emitting bf16 from the same fusion halves the largest FE buffer
+    XLA materializes: a profiled f32 (B, 31999, 512) normalized output
+    written in forward AND in the remat recompute (~2 GB each at B=32).
+    Parameter names/shapes match the flax norms, so HF conversion and
+    checkpoints are unchanged.
+    """
+
+    axis: int
+    eps: float
+    out_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=self.axis, keepdims=True)
+        # E[x²] − E[x]² — the same single-pass formula flax uses
+        var = jnp.mean(jnp.square(x32), axis=self.axis, keepdims=True) - jnp.square(mu)
+        y = (x32 - mu) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(self.out_dtype)
 
 
 class FeatureExtractor(nn.Module):
