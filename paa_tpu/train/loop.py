@@ -283,10 +283,12 @@ def run_attack(
         history = {k: list(np.asarray(v)) for k, v in state["history"].items()}
         logger.info("Resuming from checkpoint: %s (epoch=%d)", path, start_epoch)
 
-    data_rng = np.random.default_rng(cfg.seed)
     step_ms = 0.0
     for epoch in range(start_epoch, cfg.num_epochs):
         logger.info("starting epoch: %d", epoch)
+        # shuffle order is a pure function of (seed, epoch) so a resumed
+        # run sees exactly the batch order of an uninterrupted one
+        data_rng = np.random.default_rng((cfg.seed, epoch))
         p, opt_state, train_scores, step_time = runner.train_epoch(
             p, opt_state, epoch, shuffle_rng=data_rng
         )

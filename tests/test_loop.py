@@ -88,6 +88,30 @@ def test_resume_continues(tmp_path, bundle):
     assert len(res.history["train_ctc"]) == 2
 
 
+def test_resume_is_exact(tmp_path, bundle):
+    """1 epoch + resumed 2 more == 3 uninterrupted epochs, bit-for-bit:
+    state is fully checkpointed and shuffle order is (seed, epoch)-pure."""
+    apply_fn, params, pipe = bundle
+    cparams = ConstraintParams.create(linf_size=0.05)
+    kw = dict(cparams=cparams, num_items_to_inspect=0)
+
+    d1 = tmp_path / "straight"
+    res_straight = loop.run_attack(
+        _cfg(num_epochs=3, early_stopping=99), apply_fn, params, pipe, str(d1), **kw
+    )
+
+    d2 = tmp_path / "resumed"
+    loop.run_attack(_cfg(num_epochs=1, early_stopping=99), apply_fn, params, pipe, str(d2), **kw)
+    res_resumed = loop.run_attack(
+        _cfg(num_epochs=3, early_stopping=99), apply_fn, params, pipe, str(d2),
+        resume=True, **kw,
+    )
+    np.testing.assert_array_equal(res_straight.perturbation, res_resumed.perturbation)
+    np.testing.assert_allclose(
+        res_straight.history["train_ctc"], res_resumed.history["train_ctc"], rtol=1e-6
+    )
+
+
 def test_early_stopping(tmp_path, bundle):
     apply_fn, params, pipe = bundle
     # lr=0: no improvement possible after epoch 0 -> stops after patience
