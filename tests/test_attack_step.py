@@ -202,6 +202,29 @@ def test_sharded_step_matches_single(setup):
     np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-7)
 
 
+def test_sharded_step_with_accum_matches(setup):
+    """Data-parallel mesh × microbatch accumulation — the reshape to
+    (A, B/A, ...) must stay consistent with the batch sharding."""
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig(norm_type="linf", optimizer_type="pgd", lr=1e-3, accum_steps=2)
+    tables = psycho.build_tables(cfg)
+    cparams = ConstraintParams.create(linf_size=0.05)
+    single = attack_step.make_train_step(cfg.replace(accum_steps=1), apply_fn, tables)
+    sharded = attack_step.make_sharded_step(cfg, apply_fn, tables, mesh_lib.data_mesh(4))
+    p0 = jnp.zeros((1, T), jnp.float32)
+    lr = jnp.float32(cfg.lr)
+    w = jnp.ones((B,), jnp.float32)
+    p_a, _, m_a = single(
+        params, p0, optimizers.init_opt_state(cfg, p0), audio, labels, pads, w, cparams, lr
+    )
+    p_b, _, m_b = sharded(
+        params, jnp.zeros((1, T), jnp.float32),
+        optimizers.init_opt_state(cfg, p0), audio, labels, pads, w, cparams, lr,
+    )
+    np.testing.assert_allclose(float(m_a.ctc_loss), float(m_b.ctc_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-7)
+
+
 def test_sweep_step_matches_per_epsilon(setup):
     """3-cell linf epsilon sweep on a (sweep=4, data=2) mesh... sweep=4
     needs 4 cells; use 4 epsilons."""

@@ -149,7 +149,7 @@ def test_conv_impls_match():
         np.random.default_rng(0).standard_normal((2, 4000)).astype(np.float32) * 0.1
     )
     la = wav2vec2.Wav2Vec2ForCTC(cfg_a).apply({"params": pa}, audio)
-    for impl in ("conv", "tapdot"):
+    for impl in ("conv", "tapdot", "pairdot"):
         cfg_b = wav2vec2.get_config("wav2vec2-tiny", conv_impl=impl)
         lb = wav2vec2.Wav2Vec2ForCTC(cfg_b).apply({"params": pa}, audio)
         np.testing.assert_allclose(
