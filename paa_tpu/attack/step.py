@@ -207,7 +207,6 @@ def make_sweep_step(
     """
     repl = NamedSharding(mesh, P())
     sweep_sh = NamedSharding(mesh, P("sweep"))
-    batch_sh = NamedSharding(mesh, P(None, "data"))
     audio_sh = NamedSharding(mesh, P("data"))
 
     if sweep_tables_axis is not None:
@@ -216,16 +215,24 @@ def make_sweep_step(
         )
     else:
         tables_axes = None
+    if cfg.norm_type == "max_phon" and sweep_tables_axis is None:
+        raise ValueError(
+            "A max_phon sweep needs per-cell ISO-226 contours: build them "
+            "with psycho.build_sweep_tables(cfg, levels) and pass "
+            "sweep_tables_axis=0 — the max_phon_level entry of "
+            "ConstraintParams is not consulted by the projection "
+            "(the contour is a host-built table, not a traced scalar)."
+        )
 
     def one_cell(params, p, opt_state, cparams, cell_tables, audio, labels, label_paddings, weights, lr):
-        (loss, logits), grad = jax.value_and_grad(_loss_fn, has_aux=True)(
+        loss, greedy, grad = _grad_and_metrics(
             p, audio, labels, label_paddings, weights, apply_fn, params, cfg
         )
         new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
         new_p = projections.perturbation_constraint(
             new_p, audio, cfg, cparams, cell_tables
         )
-        metrics = StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
+        metrics = StepMetrics(ctc_loss=loss, greedy_ids=greedy)
         return new_p, new_opt_state, metrics
 
     def sweep_step(params, p_s, opt_state_s, audio, labels, label_paddings, weights, cparams_s, lr):

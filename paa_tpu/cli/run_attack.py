@@ -26,17 +26,9 @@ from paa_tpu.train import artifacts, checkpoint, log_helpers, loop
 def make_save_dir(args) -> str:
     """logs/{attack_mode}/{dataset}/{norm}_{size}_{mode}_{opt}
     (reference: build.py:249-254)."""
-    sizes = {
-        "min_max_freqs": args.min_freq_attack,
-        "fletcher_munson": args.fm_epsilon,
-        "max_phon": args.max_phon_level,
-        "l2": args.l2_size,
-        "l1": args.l1_size,
-        "linf": args.linf_size,
-        "snr": args.snr_db,
-        "tv": args.tv_epsilon,
-    }
-    args.attack_size_string = f"{sizes[args.norm_type]}"
+    from paa_tpu.config import SWEEP_ARG
+
+    args.attack_size_string = f"{getattr(args, SWEEP_ARG[args.norm_type])}"
     root = args.save_root or os.path.join(os.getcwd(), "logs")
     return os.path.join(
         root, args.attack_mode, args.dataset,
@@ -45,14 +37,20 @@ def make_save_dir(args) -> str:
 
 
 def setup_jax(platform: str | None):
-    """Configure JAX: optional platform pin + XLA tuning (paa_tpu.runtime)."""
+    """Configure JAX: optional platform pin + XLA tuning (paa_tpu.runtime).
+
+    The pin goes through jax.config (NOT the JAX_PLATFORMS env var,
+    which loses to backends registered at interpreter start); any
+    requested platform is pinned, so --platform tpu fails loudly when
+    no TPU backend can initialize instead of silently running on CPU.
+    """
     from paa_tpu import runtime
 
     runtime.configure()
     import jax
 
-    if platform == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     return jax
 
 

@@ -140,6 +140,7 @@ def run_sweep(args) -> dict:
         n_steps = 0
         for epoch in range(cfg.num_epochs):
             lr = jnp.float32(optimizers.step_lr(cfg, epoch))
+            epoch_losses = []  # device arrays; materialized after the epoch
             for batch in pipeline_lib.prefetch_to_device(
                 pipe.train.batches(cfg.batch_size, shuffle_rng=data_rng)
             ):
@@ -150,8 +151,12 @@ def run_sweep(args) -> dict:
                     params, p_s, opt_s, batch.audio, labels, pads,
                     batch.weights, cparams_s, lr,
                 )
+                epoch_losses.append(m.ctc_loss)
                 n_steps += 1
-            losses = np.asarray(m.ctc_loss)
+            # average of per-batch sums over ALL batches — the same
+            # aggregation as the single-run loop (train/loop.py), not
+            # just the final (possibly padded-partial) batch
+            losses = np.mean(np.stack([np.asarray(l) for l in epoch_losses]), axis=0)
             for i in range(S):
                 cell_ctc[i].append(float(losses[i]))
             log.info("[sweep %s] epoch %d ctc=%s", norm_type, epoch, losses.round(1))

@@ -184,26 +184,8 @@ class ConstraintParams(NamedTuple):
         )
 
 
-def attack_size_value(cfg: AttackConfig, params: ConstraintParams) -> float:
-    """The scalar 'size' of the active constraint, for run naming.
-
-    Reference: src/training_utils/build.py:235-246.
-    """
-    field = {
-        "min_max_freqs": "min_freq",
-        "fletcher_munson": "fm_epsilon",
-        "max_phon": "max_phon_level",
-        "l2": "l2_size",
-        "l1": "l1_size",
-        "linf": "linf_size",
-        "snr": "snr_db",
-        "tv": "tv_epsilon",
-    }[cfg.norm_type]
-    return float(getattr(params, field))
-
-
-# Optional epsilon override used by sweep drivers: maps norm_type -> the
-# ConstraintParams field that a sweep varies.
+# norm_type -> the ConstraintParams field that sizes its feasible set
+# (single source of truth for run naming, sweeps and the CLI).
 SWEEP_FIELD = {
     "min_max_freqs": "min_freq",
     "fletcher_munson": "fm_epsilon",
@@ -214,6 +196,20 @@ SWEEP_FIELD = {
     "snr": "snr_db",
     "tv": "tv_epsilon",
 }
+
+# norm_type -> the argparse flag carrying that size (reference flag
+# names; only the band edges are spelled differently there).
+SWEEP_ARG = {**SWEEP_FIELD, "min_max_freqs": "min_freq_attack"}
+
+
+def attack_size_value(cfg: AttackConfig, params: ConstraintParams) -> float:
+    """The scalar 'size' of the active constraint, for run naming.
+
+    Reference: src/training_utils/build.py:235-246. For ``max_phon`` the
+    enforced contour is baked from ``cfg.max_phon_level`` (a host-built
+    ISO-226 table); ``params.max_phon_level`` mirrors it for naming.
+    """
+    return float(getattr(params, SWEEP_FIELD[cfg.norm_type]))
 
 
 def with_sweep_value(params: ConstraintParams, norm_type: str, value) -> ConstraintParams:

@@ -143,13 +143,20 @@ def build_pipeline(
     order = rng.permutation(len(kept))
     kept = [kept[i] for i in order]
 
+    # 80/10/10 with reference int-floor semantics (build.py:203-208) —
+    # but never an empty eval/test split: with a tiny corpus
+    # int(0.1·n) is 0 and every eval would silently score inf
     n_train = int(0.8 * len(kept))
     n_eval = int(0.1 * len(kept))
+    if n_eval == 0:
+        n_eval = 1
+        n_train = len(kept) - 2  # leaves exactly one test sample
     groups = {
         "train": kept[:n_train],
         "eval": kept[n_train : n_train + n_eval],
         "test": kept[n_train + n_eval :],
     }
+    assert all(groups.values()), {k: len(v) for k, v in groups.items()}
     # One shared label width for every split → a single eval-step shape.
     all_texts = text_ops.clean_transcripts([t for (_, _, t) in kept])
     label_len = max((len(text_ops.encode(t)) for t in all_texts), default=1)

@@ -109,6 +109,18 @@ class Wav2Vec2Config:
     # a custom VJP so ∂loss/∂waveform still flows. TPU only.
     attention_impl: str = "xla"
 
+    def __post_init__(self):
+        checks = {
+            "conv_impl": ("conv", "pairdot", "im2col", "tapdot"),
+            "attention_impl": ("xla", "flash"),
+            "feat_extract_norm": ("group", "layer"),
+            "remat_policy": ("full", "save_cheap"),
+        }
+        for field_name, allowed in checks.items():
+            v = getattr(self, field_name)
+            if v not in allowed:
+                raise ValueError(f"{field_name}={v!r}; expected one of {allowed}")
+
     @property
     def dtype(self) -> Dtype:
         return jnp.dtype(self.compute_dtype)

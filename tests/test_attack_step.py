@@ -263,6 +263,43 @@ def test_sweep_step_matches_per_epsilon(setup):
     np.testing.assert_allclose(float(m.ctc_loss[2]), float(m1.ctc_loss), rtol=1e-5)
 
 
+def test_sweep_step_honors_accum_steps(setup):
+    """Regression: sweep cells must microbatch too (review finding —
+    accum_steps was silently dropped in sweep mode)."""
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg1 = AttackConfig(norm_type="linf", optimizer_type="pgd", lr=5e-3, accum_steps=1)
+    cfg2 = cfg1.replace(accum_steps=4)
+    tables = psycho.build_tables(cfg1)
+    mesh = mesh_lib.sweep_mesh(n_sweep=2, n_devices=8)
+    epsilons = np.asarray([1e-3, 1e-2], np.float32)
+    base = ConstraintParams.create()
+    cparams_s = jax.tree.map(lambda x: jnp.broadcast_to(x, (2,)), base)
+    cparams_s = cparams_s._replace(linf_size=jnp.asarray(epsilons))
+    w = jnp.ones((B,), jnp.float32)
+    outs = []
+    for cfg in (cfg1, cfg2):
+        sweep = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
+        p_s = jnp.zeros((2, 1, T), jnp.float32)
+        opt_s = jax.vmap(lambda p: optimizers.init_opt_state(cfg, p))(p_s)
+        p_s, _, m = sweep(
+            params, p_s, opt_s, audio, labels, pads, w, cparams_s, jnp.float32(cfg.lr)
+        )
+        outs.append((np.asarray(p_s), np.asarray(m.ctc_loss)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-7)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+
+
+def test_sweep_step_max_phon_requires_sweep_tables(setup):
+    """max_phon sweeps without per-cell contours must fail loudly: the
+    projection reads a host-built table, not params.max_phon_level."""
+    mcfg, params, apply_fn, *_ = setup
+    cfg = AttackConfig(norm_type="max_phon")
+    tables = psycho.build_tables(cfg)
+    mesh = mesh_lib.sweep_mesh(n_sweep=2, n_devices=8)
+    with pytest.raises(ValueError, match="build_sweep_tables"):
+        attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
+
+
 def test_step_lr_schedule():
     cfg = AttackConfig(lr=1e-4, gamma=0.9, step_size=2)
     assert optimizers.step_lr(cfg, 0) == pytest.approx(1e-4)
