@@ -77,8 +77,13 @@ def stft_plot(path: str, tensor, cfg, title: str = "STFT Magnitude"):
     from paa_tpu.ops import dsp
 
     x = np.asarray(tensor, dtype=np.float32).reshape(1, -1)
-    spec = np.asarray(dsp.stft(jnp.asarray(x), cfg.n_fft, cfg.hop_length, cfg.win_length))[0]
-    db = 20.0 * np.log10(np.abs(spec) + 1e-8)
+    # take |STFT| on device and transfer the real magnitude only —
+    # complex-array device→host copies are unimplemented on the
+    # tunneled TPU backend this repo benches on
+    mag = np.asarray(
+        jnp.abs(dsp.stft(jnp.asarray(x), cfg.n_fft, cfg.hop_length, cfg.win_length))
+    )[0]
+    db = 20.0 * np.log10(mag + 1e-8)
     freqs = np.fft.rfftfreq(cfg.n_fft, d=1.0 / cfg.sr)
     frames = db.shape[1]
 
