@@ -55,11 +55,13 @@ def _read_wav(path: str) -> tuple[np.ndarray, int]:
     return x, sr
 
 
-def _iter_librispeech_dir(root: str):
+def _iter_librispeech_pairs(root: str):
     """Walk a LibriSpeech-layout tree: speaker/chapter/*.trans.txt + audio.
 
     Audio must be WAV (this environment has no FLAC decoder); transcript
-    files use the standard ``<utt-id> <TEXT>`` lines.
+    files use the standard ``<utt-id> <TEXT>`` lines. Yields
+    ``(audio_path, text)`` WITHOUT decoding — the caller shuffles the
+    index before paying for decode.
     """
     for dirpath, _dirnames, filenames in os.walk(root):
         trans = [f for f in filenames if f.endswith(".trans.txt")]
@@ -70,31 +72,32 @@ def _iter_librispeech_dir(root: str):
                     for ext in (".wav", ".WAV"):
                         ap = os.path.join(dirpath, utt + ext)
                         if os.path.exists(ap):
-                            wav, sr = _read_wav(ap)
-                            yield wav, sr, text
+                            yield ap, text
                             break
 
 
-def _load_librispeech(data_root: str | None, target_size: int):
-    roots = []
+def _load_librispeech(data_root: str | None, target_size: int, seed: int):
     base = data_root or "librispeech_data"
-    if os.path.isdir(base):
-        roots.append(base)
-    if not roots:
+    if not os.path.isdir(base):
         raise RuntimeError(
             "LibriSpeech not found locally and downloads are unavailable in "
             f"this environment (looked in {base!r}). Provide --data_root with "
             "a LibriSpeech-layout directory of WAV files, or use "
             "--dataset synthetic."
         )
-    samples = []
-    for root in roots:
-        for item in _iter_librispeech_dir(root):
-            samples.append(item)
-            if len(samples) >= target_size:
-                return samples
-    if not samples:
+    # index the whole tree (cheap string walk), shuffle, THEN decode only
+    # target_size files — otherwise the cap keeps the first-walked
+    # speakers/chapters and the subset is directory-biased
+    pairs = list(_iter_librispeech_pairs(base))
+    if not pairs:
         raise RuntimeError(f"No WAV/transcript pairs found under {base!r}")
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(pairs))
+    samples = []
+    for i in order[:target_size]:
+        path, text = pairs[i]
+        wav, sr = _read_wav(path)
+        samples.append((wav, sr, text))
     return samples
 
 
@@ -135,11 +138,16 @@ def load_dataset_tuples(
     *documented* behavior (its flag never actually subsets; SURVEY.md
     §5.9 "documented-vs-actual gap", parser.py:65).
     """
+    if small_data and dataset != "synthetic":
+        # ~1% subset, decided BEFORE decoding so small runs don't pay for
+        # materializing the full corpus first
+        target_size = max(64, target_size // 100)
+
     if dataset == "synthetic":
         n = synthetic_samples if not small_data else max(32, synthetic_samples // 8)
         samples = list(synthetic.generate_corpus(num_samples=n, seed=seed))
     elif dataset == "LibreeSpeech":
-        samples = _load_librispeech(data_root, target_size)
+        samples = _load_librispeech(data_root, target_size, seed)
     elif dataset in ("CommonVoice", "tedlium"):
         try:
             samples = _load_hf(dataset, seed, target_size)
@@ -153,7 +161,4 @@ def load_dataset_tuples(
 
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(samples))
-    samples = [samples[i] for i in order]
-    if small_data and dataset != "synthetic":
-        samples = samples[: max(64, len(samples) // 100)]
-    return samples[:target_size]
+    return [samples[i] for i in order][:target_size]

@@ -95,8 +95,7 @@ class DataPipeline(NamedTuple):
     audio_len: int
 
 
-def _make_split(samples: list, audio_len: int, label_len: int) -> Split:
-    texts = text_ops.clean_transcripts([t for (_, _, t) in samples])
+def _make_split(samples: list, texts: list[str], audio_len: int, label_len: int) -> Split:
     labels, paddings = text_ops.encode_batch(texts, pad_to=label_len)
     return Split(
         waveforms=[np.asarray(w, dtype=np.float32).reshape(-1) for (w, _, _) in samples],
@@ -158,13 +157,19 @@ def build_pipeline(
     }
     assert all(groups.values()), {k: len(v) for k, v in groups.items()}
     # One shared label width for every split → a single eval-step shape.
+    # Transcripts are cleaned once here and handed to the splits.
     all_texts = text_ops.clean_transcripts([t for (_, _, t) in kept])
     label_len = max((len(text_ops.encode(t)) for t in all_texts), default=1)
+    text_groups = {
+        "train": all_texts[:n_train],
+        "eval": all_texts[n_train : n_train + n_eval],
+        "test": all_texts[n_train + n_eval :],
+    }
 
     return DataPipeline(
-        train=_make_split(groups["train"], audio_len, label_len),
-        eval=_make_split(groups["eval"], audio_len, label_len),
-        test=_make_split(groups["test"], audio_len, label_len),
+        train=_make_split(groups["train"], text_groups["train"], audio_len, label_len),
+        eval=_make_split(groups["eval"], text_groups["eval"], audio_len, label_len),
+        test=_make_split(groups["test"], text_groups["test"], audio_len, label_len),
         audio_len=audio_len,
     )
 

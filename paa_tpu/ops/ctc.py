@@ -64,7 +64,7 @@ def collapse_mask(ids: jnp.ndarray) -> jnp.ndarray:
     return (ids != prev) & (ids != PAD_ID)
 
 
-def char_error_counts(ids: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+def collapsed_frame_counts(ids: jnp.ndarray) -> jnp.ndarray:
     """Cheap on-device proxy metric: number of surviving frames per
     example (used for progress displays; true WER runs on host via
     ops/wer.py)."""

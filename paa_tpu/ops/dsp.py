@@ -48,8 +48,10 @@ def _prepared_window(n_fft: int, win_length: int, dtype=jnp.float32) -> jnp.ndar
 
 
 def num_frames(length: int, n_fft: int, hop_length: int) -> int:
-    """Number of STFT frames for a centered transform."""
-    return 1 + length // hop_length
+    """Number of STFT frames for a centered transform — torch.stft's
+    ``1 + (T + 2·(n_fft//2) − n_fft) // hop``, which reduces to
+    ``1 + T // hop`` only for even ``n_fft``."""
+    return 1 + (length + 2 * (n_fft // 2) - n_fft) // hop_length
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length"))

@@ -43,7 +43,10 @@ def _load_native():
             os.path.getmtime(_SO_PATH) < os.path.getmtime(_C_SOURCE)
         )
         if needs_build:
-            with tempfile.TemporaryDirectory() as td:
+            # build inside the destination dir: os.replace from a /tmp on
+            # a different filesystem raises EXDEV and would silently
+            # disable the kernel forever
+            with tempfile.TemporaryDirectory(dir=_NATIVE_DIR) as td:
                 tmp_so = os.path.join(td, "_levenshtein.so")
                 subprocess.run(
                     ["cc", "-O3", "-shared", "-fPIC", "-o", tmp_so, _C_SOURCE],

@@ -149,23 +149,41 @@ def save_json_results(save_dir: str, norm_type: str, attack_size, **kwargs):
             return float(v)
         return v
 
-    results = {"norm_type": norm_type, "attack_size": float(attack_size)}
+    # cumulative: merge over the existing file so the finalize pass (and
+    # the failure handler) extend rather than destroy per-epoch keys
+    results = {}
+    if os.path.exists(json_path):
+        try:
+            with open(json_path) as f:
+                results = json.load(f)
+        except Exception:
+            results = {}
+    results.update({"norm_type": norm_type, "attack_size": float(attack_size)})
     for key, val in kwargs.items():
         if val is not None:
             results[key] = safe(val)
 
-    clean = kwargs.get("final_test_clean") or kwargs.get("test_loss_clean")
-    pert = kwargs.get("final_test_perturbed") or kwargs.get("test_loss_perturbed")
+    def first_present(*keys):
+        for k in keys:
+            v = kwargs.get(k)
+            if v is not None:
+                return v
+        return None
+
+    clean = first_present("final_test_clean", "test_loss_clean")
+    pert = first_present("final_test_perturbed", "test_loss_perturbed")
     if clean is not None and pert is not None:
         if isinstance(clean, dict):
             results["perturbation_efficiency"] = {
-                k: pert[k] / clean[k] if clean[k] else float("inf") for k in clean
+                k: pert[k] / clean[k] if clean.get(k) else float("inf") for k in clean
             }
         else:
             results["perturbation_efficiency"] = pert / clean if clean else float("inf")
 
-    with open(json_path, "w") as f:
+    tmp = json_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(results, f, indent=2)
+    os.replace(tmp, json_path)
     return json_path
 
 
@@ -185,7 +203,8 @@ def inspect_samples(
     """
     for i, s in enumerate(samples):
         if attack_mode == "targeted":
-            is_sus = target in s["pert_pred"].lower()
+            # predictions are lowercased upstream; match case-insensitively
+            is_sus = target.lower() in s["pert_pred"].lower()
         else:
             is_sus = s["clean_pred"] != s["pert_pred"]
 

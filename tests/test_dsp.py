@@ -50,6 +50,21 @@ def test_stft_matches_torch_short_window(rng):
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
 
 
+def test_stft_matches_torch_odd_nfft(rng):
+    """Odd n_fft exercises the general gather path AND the frame-count
+    formula (1 + T//hop is wrong there — regression for an OOB gather)."""
+    import torch
+
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    spec = dsp.stft(jnp.asarray(x), n_fft=1023, hop_length=256, win_length=1023)
+    ref = torch.stft(
+        torch.from_numpy(x), n_fft=1023, hop_length=256, win_length=1023,
+        window=torch.hann_window(1023), center=True, return_complex=True,
+    ).numpy()
+    assert spec.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(spec), ref, rtol=1e-4, atol=1e-4)
+
+
 def test_istft_round_trip_exact_length(rng):
     x = _rand_audio(rng, b=3, t=16000 + 123)  # non-multiple of hop
     spec = dsp.stft(jnp.asarray(x), N_FFT, HOP, WIN)
