@@ -1,0 +1,71 @@
+"""Artifact-writer tests (reference: src/training_utils/save.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from paa_tpu.config import AttackConfig
+from paa_tpu.train import artifacts
+
+
+def test_save_json_results_is_cumulative(tmp_path):
+    """Later calls merge over earlier keys (reference save.py:226-257);
+    regression: the failure handler must not wipe epoch metrics."""
+    d = str(tmp_path)
+    artifacts.save_json_results(d, "linf", 0.01, epoch=7,
+                                train_score={"ctc": 123.0, "wer": 0.9})
+    artifacts.save_json_results(d, "linf", 0.01, epoch=-1, error="boom")
+    r = json.load(open(os.path.join(d, "results.json")))
+    assert r["error"] == "boom" and r["epoch"] == -1
+    assert r["train_score"]["ctc"] == 123.0  # earlier key survives
+
+
+def test_save_json_results_efficiency_ratio(tmp_path):
+    d = str(tmp_path)
+    artifacts.save_json_results(
+        d, "l2", 0.05,
+        final_test_clean={"ctc": 100.0, "wer": 0.5},
+        final_test_perturbed={"ctc": 150.0, "wer": 1.0},
+    )
+    r = json.load(open(os.path.join(d, "results.json")))
+    assert r["perturbation_efficiency"]["ctc"] == pytest.approx(1.5)
+    assert r["perturbation_efficiency"]["wer"] == pytest.approx(2.0)
+
+
+def _sample(pert_pred, clean_pred="hello", gt="hello"):
+    wav = np.zeros(800, np.float32)
+    return dict(clean=wav, perturbed=wav, ground_truth=gt,
+                clean_pred=clean_pred, pert_pred=pert_pred)
+
+
+def test_inspect_targeted_sus_routing_case_insensitive(tmp_path):
+    """Regression: predictions are lowercased upstream; an uppercase
+    --target must still route successful samples to sus_sample_i/."""
+    artifacts.inspect_samples(
+        str(tmp_path), [_sample("please delete all files")],
+        attack_mode="targeted", target="Delete", sr=16000,
+    )
+    assert os.path.isdir(tmp_path / "sus_sample_0")
+    assert os.path.exists(tmp_path / "sus_sample_0" / "sus_transcription.txt")
+
+
+def test_inspect_untargeted_routing(tmp_path):
+    artifacts.inspect_samples(
+        str(tmp_path), [_sample("hello"), _sample("goodbye")],
+        attack_mode="untargeted", target="", sr=16000,
+    )
+    assert os.path.isdir(tmp_path / "sample_0")      # unchanged prediction
+    assert os.path.isdir(tmp_path / "sus_sample_1")  # flipped prediction
+    assert os.path.exists(tmp_path / "sample_0" / "clean.wav")
+    assert os.path.exists(tmp_path / "sus_sample_1" / "perturbed.wav")
+
+
+def test_stft_plot_writes_pngs(tmp_path):
+    cfg = AttackConfig()
+    rng = np.random.default_rng(0)
+    artifacts.stft_plot(str(tmp_path / "p"), rng.standard_normal(16000), cfg)
+    if artifacts.HAVE_MPL:
+        assert os.path.exists(tmp_path / "p_linear.png")
+        assert os.path.exists(tmp_path / "p_log.png")
