@@ -95,6 +95,16 @@ def create_arg_parser() -> argparse.ArgumentParser:
                         choices=["wav2vec2-base", "wav2vec2-large-lv60", "wav2vec2-tiny"],
                         help="frozen ASR target (paper uses base; committed reference "
                              "code uses large-lv60)")
+    parser.add_argument("--checkpoint_path", type=str, default=None,
+                        help="local model.safetensors / pytorch_model.bin with the "
+                             "frozen model's weights, read torch-free "
+                             "(models/checkpoint_io.py); overrides the HF loader")
+    parser.add_argument("--no_input_normalize", action="store_true",
+                        help="disable the zero-mean/unit-variance waveform "
+                             "normalization baked into the lv60 forward — the "
+                             "reference's committed train/eval paths skip processor "
+                             "normalization (loss_helpers.py:21,56); set this for a "
+                             "strict-parity run against that committed behavior")
     parser.add_argument("--platform", type=str, default=None,
                         choices=[None, "tpu", "cpu"],
                         help="force a JAX platform (default: auto)")

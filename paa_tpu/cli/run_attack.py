@@ -55,17 +55,34 @@ def setup_jax(platform: str | None):
 
 
 def load_model_bundle(args):
-    """Frozen Wav2Vec2-CTC: converted HF weights if available, else
-    random init (zero-egress fallback; models/convert.py)."""
+    """Frozen Wav2Vec2-CTC. Weight sources, in priority order:
+      1. ``--checkpoint_path`` — a local model.safetensors /
+         pytorch_model.bin read torch-free (models/checkpoint_io.py);
+         errors are fatal (the user asked for these exact weights),
+      2. HF transformers cache (models/convert.py), best-effort,
+      3. random init (zero-egress fallback)."""
     log = logging.getLogger("paa_tpu")
+    overrides = {}
+    if getattr(args, "no_input_normalize", False):
+        # strict parity with the reference's committed lv60 behavior,
+        # which feeds raw waveforms without processor normalization
+        # (reference: src/core/loss_helpers.py:21,56)
+        overrides["do_normalize"] = False
     mcfg = wav2vec2.get_config(
         args.model,
         compute_dtype=args.compute_dtype,
         remat=args.remat,
         attention_impl=args.attention_impl,
+        **overrides,
     )
     params = None
-    if args.model != "wav2vec2-tiny":  # tiny is test-only, never pretrained
+    if getattr(args, "checkpoint_path", None):
+        from paa_tpu.models import checkpoint_io
+
+        sd = checkpoint_io.load_state_dict(args.checkpoint_path)
+        params = convert.convert_hf_state_dict(sd, mcfg)
+        log.info("loaded weights torch-free from %s", args.checkpoint_path)
+    elif args.model != "wav2vec2-tiny":  # tiny is test-only, never pretrained
         try:
             params = convert.load_hf_checkpoint(args.model, mcfg)
             log.info("loaded pretrained HF weights for %s", args.model)

@@ -118,19 +118,50 @@ def convert_hf_state_dict(sd: dict, cfg: Wav2Vec2Config) -> dict:
     return params
 
 
+def _find_cached_weights(repo: str) -> str | None:
+    """Locate model.safetensors / pytorch_model.bin in the standard HF hub
+    cache layout without importing huggingface_hub."""
+    import glob
+    import os
+
+    cache = os.environ.get(
+        "HF_HUB_CACHE",
+        os.path.join(
+            os.environ.get(
+                "HF_HOME", os.path.expanduser("~/.cache/huggingface")
+            ),
+            "hub",
+        ),
+    )
+    repo_dir = os.path.join(cache, "models--" + repo.replace("/", "--"))
+    for fname in ("model.safetensors", "pytorch_model.bin"):
+        hits = sorted(glob.glob(os.path.join(repo_dir, "snapshots", "*", fname)))
+        if hits:
+            return hits[-1]
+    return None
+
+
 def load_hf_checkpoint(model_name: str, cfg: Wav2Vec2Config) -> dict:
     """Load + convert an HF checkpoint (requires local cache or network).
 
-    In the zero-egress build environment this raises a clear error; the
-    pipeline then falls back to random init (documented divergence:
-    absolute CTC/WER values need the real weights, relative attack
-    dynamics and all throughput numbers do not).
+    Tries a torch-free read of the HF hub cache first
+    (models/checkpoint_io.py); only falls back to transformers'
+    ``from_pretrained`` when no cached weights file exists. In the
+    zero-egress build environment this raises a clear error; the pipeline
+    then falls back to random init (documented divergence: absolute
+    CTC/WER values need the real weights, relative attack dynamics and
+    all throughput numbers do not).
     """
     hf_names = {
         "wav2vec2-base": "facebook/wav2vec2-base-960h",
         "wav2vec2-large-lv60": "facebook/wav2vec2-large-960h-lv60-self",
     }
     repo = hf_names.get(model_name, model_name)
+    cached = _find_cached_weights(repo)
+    if cached is not None:
+        from paa_tpu.models import checkpoint_io
+
+        return convert_hf_state_dict(checkpoint_io.load_state_dict(cached), cfg)
     try:
         import os
 
