@@ -193,61 +193,88 @@ def make_sweep_step(
     apply_fn: Callable,
     tables: PsychoTables,
     mesh: Mesh,
-    sweep_tables_axis: int | None = None,
 ) -> Callable:
     """Epsilon-sweep × data-parallel train step over a 2-D mesh
     (axes ``("sweep", "data")``).
 
-    The sweep dimension is a vmap over (p, opt_state, constraint params
-    [, spl_thresh rows]) sharded along ``sweep``; the batch is shared by
-    all sweep cells and sharded along ``data``. One compiled program
-    trains every epsilon of a norm type simultaneously — the TPU-native
-    replacement for the reference's per-cell SLURM jobs
+    The sweep dimension is a vmap over (p, opt_state, constraint params)
+    sharded along ``sweep``; the batch is shared by all sweep cells and
+    sharded along ``data``; the psychoacoustic tables are replicated run
+    constants (every per-cell quantity — including the max_phon contour
+    level — is a traced ``ConstraintParams`` scalar). One compiled
+    program trains every epsilon of a norm type simultaneously — the
+    TPU-native replacement for the reference's per-cell SLURM jobs
     (reference: submit_scan_range.py:75-133).
+
+    ``active`` is a per-cell 0/1 float: cells that early-stopped keep
+    their perturbation and optimizer state frozen (the sweep equivalent
+    of the reference's per-job early stop, run_attack.py:181-183) while
+    live cells keep training in the same program.
     """
     repl = NamedSharding(mesh, P())
     sweep_sh = NamedSharding(mesh, P("sweep"))
     audio_sh = NamedSharding(mesh, P("data"))
 
-    if sweep_tables_axis is not None:
-        tables_axes = PsychoTables(
-            fm_table=None, fm_in_domain=None, spl_thresh=0, bin_freqs=None
-        )
-    else:
-        tables_axes = None
-    if cfg.norm_type == "max_phon" and sweep_tables_axis is None:
-        raise ValueError(
-            "A max_phon sweep needs per-cell ISO-226 contours: build them "
-            "with psycho.build_sweep_tables(cfg, levels) and pass "
-            "sweep_tables_axis=0 — the max_phon_level entry of "
-            "ConstraintParams is not consulted by the projection "
-            "(the contour is a host-built table, not a traced scalar)."
-        )
-
-    def one_cell(params, p, opt_state, cparams, cell_tables, audio, labels, label_paddings, weights, lr):
+    def one_cell(params, p, opt_state, cparams, active, audio, labels, label_paddings, weights, lr):
         loss, greedy, grad = _grad_and_metrics(
             p, audio, labels, label_paddings, weights, apply_fn, params, cfg
         )
         new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
-        new_p = projections.perturbation_constraint(
-            new_p, audio, cfg, cparams, cell_tables
-        )
+        new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
+        keep = lambda new, old: jnp.where(active > 0.5, new, old)
+        new_p = keep(new_p, p)
+        new_opt_state = jax.tree.map(keep, new_opt_state, opt_state)
         metrics = StepMetrics(ctc_loss=loss, greedy_ids=greedy)
         return new_p, new_opt_state, metrics
 
-    def sweep_step(params, p_s, opt_state_s, audio, labels, label_paddings, weights, cparams_s, lr):
+    def sweep_step(params, p_s, opt_state_s, audio, labels, label_paddings, weights, cparams_s, active_s, lr):
         return jax.vmap(
             one_cell,
-            in_axes=(None, 0, 0, 0, tables_axes, None, None, None, None, None),
+            in_axes=(None, 0, 0, 0, 0, None, None, None, None, None),
             out_axes=(0, 0, StepMetrics(ctc_loss=0, greedy_ids=0)),
-        )(params, p_s, opt_state_s, cparams_s, tables, audio, labels, label_paddings, weights, lr)
+        )(params, p_s, opt_state_s, cparams_s, active_s, audio, labels, label_paddings, weights, lr)
 
     sweep_metrics_sh = StepMetrics(
         ctc_loss=sweep_sh, greedy_ids=NamedSharding(mesh, P("sweep", "data"))
     )
     return jax.jit(
         sweep_step,
-        in_shardings=(repl, sweep_sh, sweep_sh, audio_sh, audio_sh, audio_sh, audio_sh, sweep_sh, repl),
+        in_shardings=(repl, sweep_sh, sweep_sh, audio_sh, audio_sh, audio_sh, audio_sh, sweep_sh, sweep_sh, repl),
         out_shardings=(sweep_sh, sweep_sh, sweep_metrics_sh),
         donate_argnums=(1, 2),
+    )
+
+
+def make_sweep_eval_step(
+    cfg: AttackConfig,
+    apply_fn: Callable,
+    mesh: Mesh,
+) -> Callable:
+    """Vmapped eval step for a sweep: every cell's perturbation is scored
+    against the shared (data-sharded) batch in one program. Preserves the
+    unclamped-add eval asymmetry (reference: evaluation.py:15-16)."""
+    repl = NamedSharding(mesh, P())
+    sweep_sh = NamedSharding(mesh, P("sweep"))
+    audio_sh = NamedSharding(mesh, P("data"))
+
+    def one_cell(params, p, audio, labels, label_paddings, weights):
+        logits = apply_fn(params, audio + p)
+        per_example = ctc.ctc_loss(logits, labels, label_paddings, reduction="none")
+        return StepMetrics(
+            ctc_loss=jnp.sum(per_example * weights), greedy_ids=ctc.greedy_ids(logits)
+        )
+
+    def sweep_eval(params, p_s, audio, labels, label_paddings, weights):
+        return jax.vmap(
+            one_cell, in_axes=(None, 0, None, None, None, None),
+            out_axes=StepMetrics(ctc_loss=0, greedy_ids=0),
+        )(params, p_s, audio, labels, label_paddings, weights)
+
+    sweep_metrics_sh = StepMetrics(
+        ctc_loss=sweep_sh, greedy_ids=NamedSharding(mesh, P("sweep", "data"))
+    )
+    return jax.jit(
+        sweep_eval,
+        in_shardings=(repl, sweep_sh, audio_sh, audio_sh, audio_sh, audio_sh),
+        out_shardings=sweep_metrics_sh,
     )

@@ -148,7 +148,6 @@ def config_from_args(args) -> AttackConfig:
         hop_length=args.hop_length,
         win_length=args.win_length,
         phon_reference_db=args.phon_reference_db,
-        max_phon_level=args.max_phon_level,
         batch_size=args.batch_size,
         lr=args.lr,
         num_epochs=args.num_epochs,

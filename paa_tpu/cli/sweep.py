@@ -108,19 +108,14 @@ def run_sweep(args) -> dict:
         )
         cparams_s = with_sweep_value(cparams_s, norm_type, np.asarray(sizes, np.float32))
 
-        # max_phon sweeps need exact per-cell contours.
-        if norm_type == "max_phon":
-            tables = psycho.build_sweep_tables(cfg, sizes)
-            sweep_tables_axis = 0
-        else:
-            tables = psycho.build_tables(cfg)
-            sweep_tables_axis = None
+        # max_phon contours are traced per-cell scalars like every other
+        # epsilon (ops/psycho.py:phon_contour) — one shared table bundle.
+        tables = psycho.build_tables(cfg)
 
         n_sweep = S if n_dev % S == 0 and S <= n_dev else 1
         mesh = mesh_lib.sweep_mesh(n_sweep=n_sweep, n_devices=n_dev)
-        step = attack_step.make_sweep_step(
-            cfg, apply_fn, tables, mesh, sweep_tables_axis=sweep_tables_axis
-        )
+        step = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
+        active = jnp.ones((S,), jnp.float32)
 
         # init: one projected perturbation per cell
         key = jax.random.PRNGKey(cfg.seed)
@@ -149,7 +144,7 @@ def run_sweep(args) -> dict:
                     labels, pads = tgt_labels, tgt_pads
                 p_s, opt_s, m = step(
                     params, p_s, opt_s, batch.audio, labels, pads,
-                    batch.weights, cparams_s, lr,
+                    batch.weights, cparams_s, active, lr,
                 )
                 epoch_losses.append(m.ctc_loss)
                 n_steps += 1

@@ -59,9 +59,9 @@ class AttackConfig:
     hop_length: int = 256
     win_length: int = 1024
 
-    # psychoacoustics
+    # psychoacoustics (max_phon_level is a *traced* ConstraintParams
+    # scalar, not static config — it sweeps like every other epsilon)
     phon_reference_db: float = 65.0
-    max_phon_level: float = 20.0
 
     # training
     batch_size: int = 64
@@ -205,9 +205,9 @@ SWEEP_ARG = {**SWEEP_FIELD, "min_max_freqs": "min_freq_attack"}
 def attack_size_value(cfg: AttackConfig, params: ConstraintParams) -> float:
     """The scalar 'size' of the active constraint, for run naming.
 
-    Reference: src/training_utils/build.py:235-246. For ``max_phon`` the
-    enforced contour is baked from ``cfg.max_phon_level`` (a host-built
-    ISO-226 table); ``params.max_phon_level`` mirrors it for naming.
+    Reference: src/training_utils/build.py:235-246. Every size —
+    including ``max_phon_level`` — is a traced ``ConstraintParams``
+    scalar consulted directly by its projection.
     """
     return float(getattr(params, SWEEP_FIELD[cfg.norm_type]))
 

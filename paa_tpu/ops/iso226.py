@@ -157,12 +157,17 @@ def phon_threshold(bin_freqs: np.ndarray, phon: float) -> np.ndarray:
 
 
 def phon_threshold_table(bin_freqs: np.ndarray) -> np.ndarray:
-    """Thresholds for every integer-decade phon level 0..90 → ``(10, F)``.
+    """Thresholds for every integer phon level 0..90 → ``(91, F)``.
 
-    Device-side code can lerp along the phon axis to support a *dynamic*
+    Device-side code lerps along the phon axis to support a *traced*
     (sweepable) ``max_phon_level`` without rebuilding tables — the
-    TPU-native replacement for the reference's per-run threshold tensor.
+    TPU-native replacement for the reference's per-run threshold tensor
+    (reference: src/training_utils/build.py:325-348). Step-1 granularity
+    makes the lerp EXACT at every integer phon level (the reference's
+    sweep grid is 15/20/25/30/35, submit_scan_range.py:88); between
+    integers the ISO-226 closed form is smooth enough that linear
+    interpolation error is far below the projection's own dB tolerance.
     """
     return np.stack(
-        [phon_threshold(bin_freqs, p) for p in range(0, 100, 10)]
+        [phon_threshold(bin_freqs, p) for p in range(0, 91)]
     ).astype(np.float32)

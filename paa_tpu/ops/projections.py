@@ -195,7 +195,12 @@ def project_frequency_domain(
             use_pallas=getattr(cfg, "use_pallas_fm", False),
         )
     elif cfg.norm_type == "max_phon":
-        stft_p = project_phon_level(stft_p, tables.spl_thresh, cfg.phon_reference_db)
+        # the contour level is a TRACED scalar: one compiled program
+        # serves any max_phon_level, and sweeps vmap over it like every
+        # other epsilon (reference rebuilds a host tensor per run,
+        # build.py:325-348)
+        contour = psycho.phon_contour(tables, params.max_phon_level)
+        stft_p = project_phon_level(stft_p, contour, cfg.phon_reference_db)
     else:
         raise ValueError(f"Unsupported frequency-domain norm_type: {cfg.norm_type!r}")
     return dsp.istft(stft_p, cfg.n_fft, cfg.hop_length, cfg.win_length, length=T)

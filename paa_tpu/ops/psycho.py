@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from paa_tpu.config import AttackConfig
 from paa_tpu.ops import dsp, iso226
@@ -26,43 +25,45 @@ from paa_tpu.ops import dsp, iso226
 class PsychoTables(NamedTuple):
     """Precomputed device constants shared by the STFT-domain projections.
 
-    All leaves are ``jnp`` arrays so the bundle is a pytree: a sweep over
-    ``max_phon_level`` simply vmaps over a leading axis of ``spl_thresh``.
+    All leaves are run-constant ``jnp`` arrays, replicated everywhere:
+    every *dynamic* quantity — including ``max_phon_level`` — is a traced
+    ``ConstraintParams`` scalar, so one table bundle serves a whole
+    epsilon sweep (the phon contour is lerped on device per cell,
+    see ``phon_contour``).
     """
 
     fm_table: jnp.ndarray  # (10, F) FM penalty weights per (phon level, bin)
     fm_in_domain: jnp.ndarray  # (F,) 1.0 where bin freq in [20, 20000] Hz
-    spl_thresh: jnp.ndarray  # (F,) ISO-226 SPL at cfg.max_phon_level per bin
+    phon_table: jnp.ndarray  # (91, F) ISO-226 SPL per (integer phon, bin)
     bin_freqs: jnp.ndarray  # (F,) rFFT bin frequencies in Hz
 
 
-def build_tables(cfg: AttackConfig, max_phon_level: float | None = None) -> PsychoTables:
+def build_tables(cfg: AttackConfig) -> PsychoTables:
     """Precompute all psychoacoustic device tables for a config (host, once)."""
     bin_freqs = dsp.rfft_bin_freqs(cfg.n_fft, cfg.sr)
     fm_table, fm_in_domain = iso226.fm_weight_table(bin_freqs)
-    phon = cfg.max_phon_level if max_phon_level is None else max_phon_level
-    spl_thresh = iso226.phon_threshold(bin_freqs, phon)
     return PsychoTables(
         fm_table=jnp.asarray(fm_table),
         fm_in_domain=jnp.asarray(fm_in_domain),
-        spl_thresh=jnp.asarray(spl_thresh),
+        phon_table=jnp.asarray(iso226.phon_threshold_table(bin_freqs)),
         bin_freqs=jnp.asarray(bin_freqs, dtype=jnp.float32),
     )
 
 
-def build_sweep_tables(cfg: AttackConfig, phon_levels) -> PsychoTables:
-    """Tables with a leading sweep axis on ``spl_thresh`` (one row per
-    phon level, each evaluated *exactly* — no lerp between contours), for
-    vmapped ``max_phon`` epsilon sweeps."""
-    bin_freqs = dsp.rfft_bin_freqs(cfg.n_fft, cfg.sr)
-    fm_table, fm_in_domain = iso226.fm_weight_table(bin_freqs)
-    thresh = np.stack([iso226.phon_threshold(bin_freqs, p) for p in phon_levels])
-    return PsychoTables(
-        fm_table=jnp.asarray(fm_table),
-        fm_in_domain=jnp.asarray(fm_in_domain),
-        spl_thresh=jnp.asarray(thresh),
-        bin_freqs=jnp.asarray(bin_freqs, dtype=jnp.float32),
-    )
+def phon_contour(tables: PsychoTables, phon: jnp.ndarray) -> jnp.ndarray:
+    """ISO-226 SPL contour ``(F,)`` at a *traced* phon level.
+
+    1-D lerp along the step-1 phon axis of ``phon_table`` — exact at
+    every integer level (covers the reference's whole sweep grid,
+    submit_scan_range.py:88), so ``max_phon_level`` sweeps through the
+    generic ``with_sweep_value`` path like every other epsilon instead
+    of needing host-rebuilt threshold tensors
+    (reference: src/training_utils/build.py:325-348).
+    """
+    pos = jnp.clip(phon, 0.0, 90.0)
+    i0 = jnp.clip(jnp.floor(pos), 0.0, 89.0).astype(jnp.int32)
+    frac = pos - i0.astype(pos.dtype)
+    return tables.phon_table[i0] * (1.0 - frac) + tables.phon_table[i0 + 1] * frac
 
 
 def fm_cell_weights(power: jnp.ndarray, tables: PsychoTables) -> jnp.ndarray:

@@ -245,7 +245,8 @@ def test_sweep_step_matches_per_epsilon(setup):
     opt_s = jax.vmap(lambda p: optimizers.init_opt_state(cfg, p))(p_s)
     lr = jnp.float32(cfg.lr)
     w = jnp.ones((B,), jnp.float32)
-    p_s, opt_s, m = sweep(params, p_s, opt_s, audio, labels, pads, w, cparams_s, lr)
+    active = jnp.ones((S,), jnp.float32)
+    p_s, opt_s, m = sweep(params, p_s, opt_s, audio, labels, pads, w, cparams_s, active, lr)
     assert m.ctc_loss.shape == (S,)
     # all cells see the same batch => identical pre-projection update;
     # per-cell projection enforces each epsilon
@@ -263,6 +264,67 @@ def test_sweep_step_matches_per_epsilon(setup):
     np.testing.assert_allclose(float(m.ctc_loss[2]), float(m1.ctc_loss), rtol=1e-5)
 
 
+def test_sweep_step_active_mask_freezes_cells(setup):
+    """Early-stopped cells (active=0) keep p and opt state bit-frozen
+    while live cells train."""
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig(norm_type="linf", optimizer_type="adam", lr=5e-3)
+    tables = psycho.build_tables(cfg)
+    S = 2
+    base = ConstraintParams.create(linf_size=0.05)
+    cparams_s = jax.tree.map(lambda x: jnp.broadcast_to(x, (S,)), base)
+    mesh = mesh_lib.sweep_mesh(n_sweep=2, n_devices=8)
+    sweep = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
+    rng = np.random.default_rng(1)
+    p0 = jnp.asarray(rng.standard_normal((S, 1, T)).astype(np.float32) * 1e-3)
+    opt_s = jax.vmap(lambda p: optimizers.init_opt_state(cfg, p))(p0)
+    w = jnp.ones((B,), jnp.float32)
+    active = jnp.asarray([1.0, 0.0], jnp.float32)
+    p_s, opt_s, _ = sweep(
+        params, p0, opt_s, audio, labels, pads, w, cparams_s, active, jnp.float32(cfg.lr)
+    )
+    assert float(jnp.max(jnp.abs(p_s[0] - p0[0]))) > 0  # live cell moved
+    np.testing.assert_array_equal(np.asarray(p_s[1]), np.asarray(p0[1]))  # frozen
+
+
+def test_sweep_step_max_phon_traced(setup):
+    """max_phon sweeps through the generic traced-epsilon path: per-cell
+    contours are enforced exactly at their own levels (no host-built
+    per-cell tables)."""
+    from paa_tpu.ops import dsp, iso226
+
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig(norm_type="max_phon", optimizer_type="pgd", lr=5e-2)
+    tables = psycho.build_tables(cfg)
+    levels = np.asarray([15.0, 25.0, 35.0, 45.0], np.float32)  # reference grid values
+    S = len(levels)
+    base = ConstraintParams.create()
+    cparams_s = jax.tree.map(lambda x: jnp.broadcast_to(x, (S,)), base)
+    cparams_s = cparams_s._replace(max_phon_level=jnp.asarray(levels))
+    mesh = mesh_lib.sweep_mesh(n_sweep=4, n_devices=8)
+    sweep = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
+    rng = np.random.default_rng(0)
+    p_s = jnp.asarray(rng.standard_normal((S, 1, T)).astype(np.float32))
+    opt_s = jax.vmap(lambda p: optimizers.init_opt_state(cfg, p))(p_s)
+    w = jnp.ones((B,), jnp.float32)
+    active = jnp.ones((S,), jnp.float32)
+    p_s, _, m = sweep(
+        params, p_s, opt_s, audio, labels, pads, w, cparams_s, active, jnp.float32(cfg.lr)
+    )
+    assert np.isfinite(np.asarray(m.ctc_loss)).all()
+    bins = dsp.rfft_bin_freqs(cfg.n_fft, cfg.sr)
+    for i, lvl in enumerate(levels):
+        # contour used on device == exact host ISO-226 threshold at lvl
+        exact = iso226.phon_threshold(bins, float(lvl))
+        dev = np.asarray(psycho.phon_contour(tables, jnp.float32(lvl)))
+        np.testing.assert_allclose(dev, exact, rtol=1e-6, atol=1e-5)
+        # single-pass resynthesis leakage is bounded (same as single-run path)
+        spec = dsp.stft(p_s[i], cfg.n_fft, cfg.hop_length, cfg.win_length)
+        mag_db = 20.0 * np.log10(np.abs(np.asarray(spec)) + 1e-8)
+        scaled = exact - exact.max() + cfg.phon_reference_db
+        assert mag_db.max() <= scaled.max() + 6.0
+
+
 def test_sweep_step_honors_accum_steps(setup):
     """Regression: sweep cells must microbatch too (review finding —
     accum_steps was silently dropped in sweep mode)."""
@@ -277,27 +339,17 @@ def test_sweep_step_honors_accum_steps(setup):
     cparams_s = cparams_s._replace(linf_size=jnp.asarray(epsilons))
     w = jnp.ones((B,), jnp.float32)
     outs = []
+    active = jnp.ones((2,), jnp.float32)
     for cfg in (cfg1, cfg2):
         sweep = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
         p_s = jnp.zeros((2, 1, T), jnp.float32)
         opt_s = jax.vmap(lambda p: optimizers.init_opt_state(cfg, p))(p_s)
         p_s, _, m = sweep(
-            params, p_s, opt_s, audio, labels, pads, w, cparams_s, jnp.float32(cfg.lr)
+            params, p_s, opt_s, audio, labels, pads, w, cparams_s, active, jnp.float32(cfg.lr)
         )
         outs.append((np.asarray(p_s), np.asarray(m.ctc_loss)))
     np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-7)
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
-
-
-def test_sweep_step_max_phon_requires_sweep_tables(setup):
-    """max_phon sweeps without per-cell contours must fail loudly: the
-    projection reads a host-built table, not params.max_phon_level."""
-    mcfg, params, apply_fn, *_ = setup
-    cfg = AttackConfig(norm_type="max_phon")
-    tables = psycho.build_tables(cfg)
-    mesh = mesh_lib.sweep_mesh(n_sweep=2, n_devices=8)
-    with pytest.raises(ValueError, match="build_sweep_tables"):
-        attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
 
 
 def test_step_lr_schedule():

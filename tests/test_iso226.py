@@ -99,9 +99,9 @@ def test_device_fm_weights_match_rgi(rng):
 def test_phon_threshold_clamps_dc_bin():
     cfg = AttackConfig()
     bins = dsp.rfft_bin_freqs(cfg.n_fft, cfg.sr)
-    thresh = iso226.phon_threshold(bins, cfg.max_phon_level)
+    thresh = iso226.phon_threshold(bins, 20.0)
     assert thresh.shape == (cfg.num_freq_bins,)
     # DC bin (0 Hz) reuses the 20 Hz value (reference: build.py:336).
     np.testing.assert_allclose(
-        thresh[0], iso226.iso226_spl(cfg.max_phon_level, [20.0])[0], rtol=1e-6
+        thresh[0], iso226.iso226_spl(20.0, [20.0])[0], rtol=1e-6
     )

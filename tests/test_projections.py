@@ -121,10 +121,56 @@ def test_phon_satisfaction(rng, setup):
     cfg, tables, params = setup
     p, _ = _p_and_clean(rng, scale=10.0)
     spec = dsp.stft(p, cfg.n_fft, cfg.hop_length, cfg.win_length)
-    out = projections.project_phon_level(spec, tables.spl_thresh, cfg.phon_reference_db)
+    contour = psycho.phon_contour(tables, params.max_phon_level)
+    out = projections.project_phon_level(spec, contour, cfg.phon_reference_db)
     mag_db = 20.0 * jnp.log10(jnp.abs(out) + 1e-8)
-    scaled = tables.spl_thresh - jnp.max(tables.spl_thresh) + cfg.phon_reference_db
+    scaled = contour - jnp.max(contour) + cfg.phon_reference_db
     assert bool(jnp.all(mag_db <= scaled[:, None] + 1e-3))
+
+
+def test_phon_contour_exact_at_integer_levels():
+    """Device-side contour lerp == the host ISO-226 closed form at every
+    integer phon level (the reference sweep grid is 15/20/25/30/35)."""
+    from paa_tpu.ops import iso226
+
+    cfg = AttackConfig(norm_type="max_phon")
+    tables = psycho.build_tables(cfg)
+    bins = dsp.rfft_bin_freqs(cfg.n_fft, cfg.sr)
+    for lvl in (0.0, 15.0, 20.0, 35.0, 90.0):
+        exact = iso226.phon_threshold(bins, lvl)
+        dev = np.asarray(psycho.phon_contour(tables, jnp.float32(lvl)))
+        np.testing.assert_allclose(dev, exact, rtol=1e-6, atol=1e-5)
+    # between integers: lerp stays within the bracketing contours
+    mid = np.asarray(psycho.phon_contour(tables, jnp.float32(22.5)))
+    lo = iso226.phon_threshold(bins, 22.0)
+    hi = iso226.phon_threshold(bins, 23.0)
+    assert (mid >= np.minimum(lo, hi) - 1e-4).all()
+    assert (mid <= np.maximum(lo, hi) + 1e-4).all()
+
+
+def test_max_phon_traced_sweep_via_with_sweep_value(rng, setup):
+    """max_phon flows through the generic with_sweep_value vmap path."""
+    from paa_tpu.config import with_sweep_value
+
+    cfg, tables, params = setup
+    cfg = cfg.replace(norm_type="max_phon")
+    p, clean = _p_and_clean(rng, scale=10.0)
+    levels = np.asarray([15.0, 30.0, 45.0], np.float32)
+    params_s = jax.tree.map(lambda x: jnp.broadcast_to(x, (3,)), params)
+    params_s = with_sweep_value(params_s, "max_phon", levels)
+    out = jax.vmap(
+        lambda cp: projections.perturbation_constraint(p, clean, cfg, cp, tables)
+    )(params_s)
+    assert out.shape == (3,) + p.shape
+    # looser level ⇒ more energy retained
+    energies = [float(jnp.sum(out[i] ** 2)) for i in range(3)]
+    assert energies[0] <= energies[1] <= energies[2]
+    # each cell equals the single projection at its own level
+    for i, lvl in enumerate(levels):
+        single = projections.perturbation_constraint(
+            p, clean, cfg, params._replace(max_phon_level=jnp.float32(lvl)), tables
+        )
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(single), atol=1e-6)
 
 
 # -- idempotence & identity -------------------------------------------------
