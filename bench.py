@@ -45,6 +45,12 @@ ATTN = os.environ.get("BENCH_ATTN", "xla")  # "xla" | "flash"
 REMAT_FE = os.environ.get("BENCH_REMAT_FE", "1") == "1"
 REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "full")
 PALLAS_FM = os.environ.get("BENCH_PALLAS_FM")  # default: on unless CPU backend
+OPT = os.environ.get("BENCH_OPT", "pgd")  # "pgd" | "adam"
+FLASH_BLOCK = int(os.environ.get("BENCH_FLASH_BLOCK", "0"))
+# encoder layer-loop unroll: 1 = rolled scan (default; measured best —
+# full unroll REGRESSED to 1.22 steps/s, see docs/PERF.md), 0 = fully
+# unrolled, k = partial
+UNROLL = int(os.environ.get("BENCH_UNROLL", "1"))
 
 
 def main() -> int:
@@ -64,12 +70,14 @@ def main() -> int:
         PALLAS_FM == "1" if PALLAS_FM is not None else jax.default_backend() != "cpu"
     )
     cfg = AttackConfig(
-        norm_type=NORM, optimizer_type="pgd", lr=1e-4, remat=REMAT,
+        norm_type=NORM, optimizer_type=OPT, lr=1e-4, remat=REMAT,
         accum_steps=ACCUM, use_pallas_fm=use_pallas_fm,
     )
     mcfg = wav2vec2.get_config(
         "wav2vec2-base", remat=REMAT, attention_impl=ATTN,
         remat_feature_extractor=REMAT_FE, remat_policy=REMAT_POLICY,
+        encoder_unroll=UNROLL if UNROLL > 0 else 10**9,
+        flash_block=FLASH_BLOCK,
     )
     params = wav2vec2.init_params(mcfg, example_len=2000)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)
@@ -106,7 +114,7 @@ def main() -> int:
             {
                 "metric": (
                     f"attack steps/sec/chip (wav2vec2-base, B={B}, {T/16000:.0f}s "
-                    f"audio, {NORM} PGD, fused fwd+bwd+project)"
+                    f"audio, {NORM} {OPT.upper()}, fused fwd+bwd+project)"
                 ),
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/sec",

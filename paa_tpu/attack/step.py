@@ -154,6 +154,29 @@ def make_eval_step(cfg: AttackConfig, apply_fn: Callable) -> Callable:
 # ---------------------------------------------------------------------------
 
 
+def make_sharded_eval_step(cfg: AttackConfig, apply_fn: Callable, mesh: Mesh) -> Callable:
+    """Data-parallel eval step over ``mesh``: batch sharded along
+    ``"data"``, ``p``/params replicated, the summed CTC loss all-reduced
+    by XLA over ICI. Same semantics as :func:`make_eval_step` (unclamped
+    add; reference: src/training_utils/evaluation.py:15-16) — on an
+    N-chip slice the clean and perturbed eval passes use every chip
+    instead of leaving N-1 idle."""
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    def eval_step(params, p, audio, labels, label_paddings, weights):
+        logits = apply_fn(params, audio + p)
+        per_example = ctc.ctc_loss(logits, labels, label_paddings, reduction="none")
+        loss = jnp.sum(per_example * weights)
+        return StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
+
+    return jax.jit(
+        eval_step,
+        in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, batch_sh),
+        out_shardings=StepMetrics(ctc_loss=repl, greedy_ids=batch_sh),
+    )
+
+
 def make_sharded_step(
     cfg: AttackConfig,
     apply_fn: Callable,

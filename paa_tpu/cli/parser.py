@@ -133,6 +133,11 @@ def create_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the run into "
                              "<save_dir>/profile (view with tensorboard)")
+    parser.add_argument("--debug_plots", action="store_true",
+                        help="emit the phon-projection 3-panel / FM weight-curve "
+                             "debug plots on improvement epochs (reference: "
+                             "save.py:260-294, emitted from inside the projection "
+                             "there; here from the host, outside the jitted step)")
     return parser
 
 

@@ -141,6 +141,7 @@ def main(args) -> int:
                 num_items_to_inspect=args.num_items_to_inspect,
                 resume=not args.no_resume and not args.small_data,
                 init_p=init_p,
+                debug_plots=args.debug_plots,
             )
         finally:
             if args.profile:

@@ -1,19 +1,33 @@
 """Sweep driver — the TPU-native replacement for SLURM job arrays.
 
 The reference farms the (norm_type × epsilon) grid to sbatch, one GPU per
-cell with requeue/resume (reference: submit_scan_range.py:8-143). Here a
-sweep is executed *in-process*:
+cell, and each cell executes the FULL ``main`` attack loop: per-epoch
+clean/perturbed eval, best-perturbation tracking, early stopping, and
+requeue-resume (reference: submit_scan_range.py:8-143 driving
+src/run_attack.py:61-183). Here a sweep is executed *in-process* with the
+same per-cell semantics:
 
   * all epsilons of one norm type train SIMULTANEOUSLY as a vmapped
     leading axis of one compiled program (attack/step.py:make_sweep_step),
     sharded over the mesh's ``sweep`` axis — one chip per cell on a slice,
     cells sharing chips otherwise;
-  * norm types run sequentially (different feasible sets = different
-    programs), round-robin-equivalent coverage without a scheduler;
+  * every cell starts from the SAME projected randn perturbation a
+    standalone run with this seed would use (the reference hands each
+    SLURM job the same ``--seed``; build.py:288-321) — per-cell
+    projections differ only through their epsilon;
+  * per epoch, every cell is evaluated on the eval split (clean pass
+    computed once — it is cell-independent — perturbed pass vmapped over
+    cells), with per-cell best-p tracking and early stopping: stopped
+    cells freeze their state inside the same compiled program via the
+    ``active`` mask (run_attack.py:149-183 per cell);
+  * the whole sweep checkpoints per epoch and resumes exactly — batch
+    order is a pure function of (seed, epoch), matching train/loop.py —
+    replacing SLURM ``--requeue`` (submit_scan_range.py:58);
   * per-cell results land in the same per-cell run directories +
-    results.json the reference produces, plus a sweep-level summary
-    (``sweep_results.json``) replacing the reference's missing
-    ``grab_results.py`` aggregator (SURVEY.md §5.5).
+    cumulative results.json + metrics.jsonl the single-run loop produces,
+    plus a sweep-level summary (``sweep_results.json``, with per-cell
+    eval/test WER) replacing the reference's missing ``grab_results.py``
+    aggregator (SURVEY.md §5.5).
 
 Default grids mirror submit_scan_range.py:80-88 (grids left empty there
 get the flag defaults as a single cell).
@@ -60,18 +74,30 @@ def create_sweep_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def run_sweep(args) -> dict:
-    import jax
-    import jax.numpy as jnp
+def _cell_dir(root: str, args, cfg, norm_type: str, size: float) -> str:
+    # same layout as the reference's per-job save_dir (build.py:249-254)
+    return os.path.join(
+        root, cfg.attack_mode, args.dataset,
+        f"{norm_type}_{size}_{cfg.attack_mode}_{cfg.optimizer_type}",
+    )
 
-    from paa_tpu.attack import optimizers, step as attack_step
+
+def _sweep_wer(ids_s: np.ndarray, mask: np.ndarray, refs: list[str]) -> np.ndarray:
+    """Per-cell WER for one batch: ids_s is (S, B, frames)."""
+    from paa_tpu.ops import text as text_ops, wer as wer_ops
+
+    S = ids_s.shape[0]
+    out = np.empty((S,), np.float64)
+    lowered_refs = [r.lower() for r in refs]
+    for i in range(S):
+        preds = [t.lower() for t in text_ops.decode_batch(ids_s[i][mask])]
+        out[i] = wer_ops.wer(preds, lowered_refs)
+    return out
+
+
+def run_sweep(args) -> dict:
     from paa_tpu.cli import run_attack as run_attack_cli
-    from paa_tpu.cli.parser import config_from_args, constraint_params_from_args
-    from paa_tpu.config import with_sweep_value, SWEEP_FIELD
     from paa_tpu.data import datasets, pipeline as pipeline_lib
-    from paa_tpu.ops import psycho, text as text_ops, wer as wer_ops
-    from paa_tpu.parallel import mesh as mesh_lib
-    from paa_tpu.train import artifacts, log_helpers, scoring
 
     log = logging.getLogger("paa_tpu")
     grids = dict(DEFAULT_GRIDS)
@@ -92,113 +118,307 @@ def run_sweep(args) -> dict:
     )
     _, params, apply_fn = run_attack_cli.load_model_bundle(args)
 
-    n_dev = len(jax.devices())
     summary = {}
     root = args.save_root or os.path.join(os.getcwd(), "logs")
+    os.makedirs(root, exist_ok=True)
 
     for norm_type in norms:
         sizes = grids.get(norm_type, [])
         if not sizes:
             continue
-        S = len(sizes)
-        cfg = config_from_args(args).replace(norm_type=norm_type)
-        base_cparams = constraint_params_from_args(args)
-        cparams_s = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (S,)), base_cparams
+        summary[norm_type] = _run_norm_sweep(
+            args, norm_type, [float(s) for s in sizes], pipe, params, apply_fn, root
         )
-        cparams_s = with_sweep_value(cparams_s, norm_type, np.asarray(sizes, np.float32))
-
-        # max_phon contours are traced per-cell scalars like every other
-        # epsilon (ops/psycho.py:phon_contour) — one shared table bundle.
-        tables = psycho.build_tables(cfg)
-
-        n_sweep = S if n_dev % S == 0 and S <= n_dev else 1
-        mesh = mesh_lib.sweep_mesh(n_sweep=n_sweep, n_devices=n_dev)
-        step = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
-        active = jnp.ones((S,), jnp.float32)
-
-        # init: one projected perturbation per cell
-        key = jax.random.PRNGKey(cfg.seed)
-        p_s = jax.random.normal(key, (S, 1, pipe.audio_len), dtype=jnp.float32)
-        opt_s = jax.vmap(lambda q: optimizers.init_opt_state(cfg, q))(p_s)
-
-        L = pipe.train.labels.shape[1]
-        if cfg.attack_mode == "targeted":
-            from paa_tpu.train.loop import _targeted_labels
-
-            tgt_labels, tgt_pads = _targeted_labels(cfg, cfg.batch_size, L)
-            tgt_labels, tgt_pads = jnp.asarray(tgt_labels), jnp.asarray(tgt_pads)
-
-        data_rng = np.random.default_rng(cfg.seed)
-        cell_ctc = [[] for _ in range(S)]
-        t_start = time.perf_counter()
-        n_steps = 0
-        for epoch in range(cfg.num_epochs):
-            lr = jnp.float32(optimizers.step_lr(cfg, epoch))
-            epoch_losses = []  # device arrays; materialized after the epoch
-            for batch in pipeline_lib.prefetch_to_device(
-                pipe.train.batches(cfg.batch_size, shuffle_rng=data_rng)
-            ):
-                labels, pads = batch.labels, batch.label_paddings
-                if cfg.attack_mode == "targeted":
-                    labels, pads = tgt_labels, tgt_pads
-                p_s, opt_s, m = step(
-                    params, p_s, opt_s, batch.audio, labels, pads,
-                    batch.weights, cparams_s, active, lr,
-                )
-                epoch_losses.append(m.ctc_loss)
-                n_steps += 1
-            # average of per-batch sums over ALL batches — the same
-            # aggregation as the single-run loop (train/loop.py), not
-            # just the final (possibly padded-partial) batch
-            losses = np.mean(np.stack([np.asarray(l) for l in epoch_losses]), axis=0)
-            for i in range(S):
-                cell_ctc[i].append(float(losses[i]))
-            log.info("[sweep %s] epoch %d ctc=%s", norm_type, epoch, losses.round(1))
-        wall = time.perf_counter() - t_start
-
-        # per-cell final evaluation (clean once + perturbed per cell) + artifacts
-        from paa_tpu.train.loop import AttackRunner
-
-        runner = AttackRunner(cfg, apply_fn, params, pipe, base_cparams, use_mesh=False)
-        p_np = np.asarray(p_s)
-        clean_eval = runner.evaluate(pipe.eval, jnp.zeros((1, pipe.audio_len)), perturbed=False)
-        norm_summary = []
-        for i, size in enumerate(sizes):
-            pert_eval = runner.evaluate(pipe.eval, jnp.asarray(p_np[i]), perturbed=True)
-            cell_dir = os.path.join(
-                root, cfg.attack_mode, args.dataset,
-                f"{norm_type}_{size}_{cfg.attack_mode}_{cfg.optimizer_type}",
-            )
-            os.makedirs(cell_dir, exist_ok=True)
-            np.save(os.path.join(cell_dir, "perturbation.npy"), p_np[i])
-            artifacts.save_epoch_bundle(cell_dir, p_np[i][0], cfg)
-            artifacts.save_json_results(
-                cell_dir, norm_type, size,
-                epoch=cfg.num_epochs - 1, finished_training=True,
-                train_score={"ctc": scoring.best_agg(cell_ctc[i], cfg.attack_mode)},
-                eval_score_clean={"ctc": clean_eval.ctc, "wer": clean_eval.wer},
-                eval_score_perturbed={"ctc": pert_eval.ctc, "wer": pert_eval.wer},
-                sweep_steps_per_sec=n_steps * S / wall if wall else None,
-            )
-            norm_summary.append(
-                {"size": float(size), "final_ctc": cell_ctc[i][-1],
-                 "best_ctc": scoring.best_agg(cell_ctc[i], cfg.attack_mode),
-                 "eval_pert_ctc": pert_eval.ctc, "eval_pert_wer": pert_eval.wer,
-                 "dir": cell_dir}
-            )
-        summary[norm_type] = {
-            "cells": norm_summary,
-            "cell_steps_per_sec": n_steps * S / wall if wall else None,
-            "mesh": f"(sweep={n_sweep}, data={n_dev // n_sweep})",
-        }
 
     out_path = os.path.join(root, "sweep_results.json")
-    os.makedirs(root, exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     log.info("sweep summary written to %s", out_path)
     return summary
+
+
+def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dict:
+    """All epsilons of one norm type, each cell a full attack run
+    (reference: one SLURM job per cell running run_attack.py:13-279)."""
+    import jax
+    import jax.numpy as jnp
+
+    from paa_tpu.attack import optimizers, step as attack_step
+    from paa_tpu.cli.parser import config_from_args, constraint_params_from_args
+    from paa_tpu.config import with_sweep_value
+    from paa_tpu.data import pipeline as pipeline_lib
+    from paa_tpu.ops import projections, psycho, text as text_ops, wer as wer_ops
+    from paa_tpu.parallel import mesh as mesh_lib
+    from paa_tpu.train import artifacts, checkpoint, scoring
+
+    log = logging.getLogger("paa_tpu")
+    S = len(sizes)
+    cfg = config_from_args(args).replace(norm_type=norm_type)
+    base_cparams = constraint_params_from_args(args)
+    cparams_s = jax.tree.map(lambda x: jnp.broadcast_to(x, (S,)), base_cparams)
+    cparams_s = with_sweep_value(cparams_s, norm_type, np.asarray(sizes, np.float32))
+    tables = psycho.build_tables(cfg)
+
+    n_dev = len(jax.devices())
+    n_sweep = S if n_dev % S == 0 and S <= n_dev else 1
+    mesh = mesh_lib.sweep_mesh(n_sweep=n_sweep, n_devices=n_dev)
+    step = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
+    sweep_eval = attack_step.make_sweep_eval_step(cfg, apply_fn, mesh)
+    eval_step = attack_step.make_eval_step(cfg, apply_fn)
+
+    cell_dirs = [_cell_dir(root, args, cfg, norm_type, s) for s in sizes]
+    for d in cell_dirs:
+        os.makedirs(d, exist_ok=True)
+
+    # -- init: every cell starts from the standalone-run perturbation ----
+    # randn(1, T) with the run seed (identical across cells, exactly as
+    # each SLURM job with the same --seed would draw; build.py:301), then
+    # the per-cell projection — the reference projects at init too
+    # (build.py:303) and skipping it would feed epoch 0 saturated N(0,1)
+    # noise and contaminate Adam's first moments.
+    key = jax.random.PRNGKey(cfg.seed)
+    p0 = jax.random.normal(key, (1, pipe.audio_len), dtype=jnp.float32)
+    clean0 = None
+    if cfg.norm_type in ("snr", "tv"):
+        first = next(pipe.train.batches(cfg.batch_size))
+        clean0 = jnp.asarray(first.audio)
+    p_s = jax.vmap(
+        lambda cp: projections.perturbation_constraint(p0, clean0, cfg, cp, tables)
+    )(cparams_s)
+    opt_s = jax.vmap(lambda q: optimizers.init_opt_state(cfg, q))(p_s)
+
+    L = pipe.train.labels.shape[1]
+    tgt_labels = tgt_pads = None
+    if cfg.attack_mode == "targeted":
+        from paa_tpu.train.loop import _targeted_labels
+
+        tl, tp = _targeted_labels(cfg, cfg.batch_size, L)
+        tgt_labels, tgt_pads = jnp.asarray(tl), jnp.asarray(tp)
+
+    # -- per-cell tracking state (host) -----------------------------------
+    history_keys = (
+        "train_ctc", "train_wer", "eval_clean_ctc", "eval_clean_wer",
+        "eval_pert_ctc", "eval_pert_wer",
+    )
+    history = {k: [] for k in history_keys}  # lists of (S,) arrays, one per epoch
+    best_score_s = np.full((S,), scoring.initial_best(cfg.attack_mode), np.float64)
+    best_p_s = np.array(p_s)  # writable copy (np.asarray of a jax array is read-only)
+    best_epoch_s = np.full((S,), -1, np.int64)
+    no_improve_s = np.zeros((S,), np.int64)
+    start_epoch = 0
+    clean_eval = None  # (ctc, wer) — constant across epochs and cells
+
+    # -- checkpoint/resume (replaces SLURM --requeue; build.py:266-286) ---
+    ckpt_path = os.path.join(root, f"sweep_state_{norm_type}.msgpack")
+    template = {
+        "p_s": p_s, "opt_s": opt_s, "epoch": 0,
+        "best_score_s": best_score_s, "best_p_s": best_p_s,
+        "best_epoch_s": best_epoch_s, "no_improve_s": no_improve_s,
+        "history": {k: np.zeros((0, S), np.float64) for k in history_keys},
+        "clean_eval": np.zeros((2,), np.float64),
+    }
+    if os.path.exists(ckpt_path):
+        state = checkpoint.load_checkpoint(ckpt_path, template)
+        p_s = jnp.asarray(state["p_s"])
+        opt_s = jax.tree.map(jnp.asarray, state["opt_s"])
+        start_epoch = int(state["epoch"]) + 1
+        best_score_s = np.array(state["best_score_s"])
+        best_p_s = np.array(state["best_p_s"])
+        best_epoch_s = np.array(state["best_epoch_s"])
+        no_improve_s = np.array(state["no_improve_s"])
+        history = {k: list(np.asarray(state["history"][k])) for k in history_keys}
+        ce = np.asarray(state["clean_eval"])
+        clean_eval = (float(ce[0]), float(ce[1])) if np.isfinite(ce[0]) else None
+        log.info("[sweep %s] resuming at epoch %d", norm_type, start_epoch)
+
+    # fresh (non-resumed) sweeps truncate per-cell metric streams so a
+    # re-run in an existing root doesn't append duplicate epoch lines
+    if start_epoch == 0:
+        for d in cell_dirs:
+            mp = os.path.join(d, "metrics.jsonl")
+            if os.path.exists(mp):
+                os.remove(mp)
+
+    def _labels_for(batch):
+        if cfg.attack_mode == "targeted":
+            return tgt_labels, tgt_pads
+        return batch.labels, batch.label_paddings
+
+    def _evaluate_cells(split, p_cells):
+        """Per-cell (ctc, wer) on a split — the vmapped analogue of
+        AttackRunner.evaluate (unclamped add; evaluation.py:15-16)."""
+        pending = []
+        for batch in pipeline_lib.prefetch_to_device(split.batches(cfg.batch_size)):
+            labels, pads = _labels_for(batch)
+            m = sweep_eval(params, p_cells, batch.audio, labels, pads, batch.weights)
+            pending.append((m, np.asarray(batch.weights) > 0, batch.indices))
+        ctc = np.zeros((S,), np.float64)
+        wer = np.zeros((S,), np.float64)
+        for m, w, indices in pending:
+            ctc += np.asarray(m.ctc_loss, np.float64)
+            refs = [split.texts[i] for i in np.asarray(indices)[w]]
+            wer += _sweep_wer(np.asarray(m.greedy_ids), w, refs)
+        n = max(len(pending), 1)
+        return ctc / n, wer / n
+
+    def _evaluate_clean(split):
+        """Clean pass is cell-independent — one unsweeped program."""
+        ctc_scores, wer_scores = [], []
+        zero = jnp.zeros((1, pipe.audio_len), jnp.float32)
+        for batch in pipeline_lib.prefetch_to_device(split.batches(cfg.batch_size)):
+            labels, pads = _labels_for(batch)
+            m = eval_step(params, zero, batch.audio, labels, pads, batch.weights)
+            w = np.asarray(batch.weights) > 0
+            ctc_scores.append(float(m.ctc_loss))
+            refs = [split.texts[i].lower() for i in np.asarray(batch.indices)[w]]
+            preds = [t.lower() for t in text_ops.decode_batch(np.asarray(m.greedy_ids)[w])]
+            wer_scores.append(wer_ops.wer(preds, refs))
+        n = max(len(ctc_scores), 1)
+        return sum(ctc_scores) / n, sum(wer_scores) / n
+
+    # -- epochs ------------------------------------------------------------
+    t_start = time.perf_counter()
+    n_steps = 0
+    for epoch in range(start_epoch, cfg.num_epochs):
+        # batch order is a pure function of (seed, epoch) — resume-exact,
+        # matching train/loop.py
+        data_rng = np.random.default_rng((cfg.seed, epoch))
+        active = jnp.asarray((no_improve_s < cfg.early_stopping).astype(np.float32))
+        lr = jnp.float32(optimizers.step_lr(cfg, epoch))
+        pending = []
+        for batch in pipeline_lib.prefetch_to_device(
+            pipe.train.batches(cfg.batch_size, shuffle_rng=data_rng)
+        ):
+            labels, pads = _labels_for(batch)
+            p_s, opt_s, m = step(
+                params, p_s, opt_s, batch.audio, labels, pads,
+                batch.weights, cparams_s, active, lr,
+            )
+            pending.append((m, np.asarray(batch.weights) > 0, batch.indices))
+            n_steps += 1
+        # train metrics: per-batch sums averaged over batches, the same
+        # aggregation as the single-run loop (train/loop.py:train_epoch)
+        train_ctc = np.zeros((S,), np.float64)
+        train_wer = np.zeros((S,), np.float64)
+        for m, w, indices in pending:
+            train_ctc += np.asarray(m.ctc_loss, np.float64)
+            refs = [pipe.train.texts[i] for i in np.asarray(indices)[w]]
+            train_wer += _sweep_wer(np.asarray(m.greedy_ids), w, refs)
+        nb = max(len(pending), 1)
+        train_ctc /= nb
+        train_wer /= nb
+
+        if clean_eval is None:
+            clean_eval = _evaluate_clean(pipe.eval)
+        pert_ctc, pert_wer = _evaluate_cells(pipe.eval, p_s)
+
+        history["train_ctc"].append(train_ctc)
+        history["train_wer"].append(train_wer)
+        history["eval_clean_ctc"].append(np.full((S,), clean_eval[0]))
+        history["eval_clean_wer"].append(np.full((S,), clean_eval[1]))
+        history["eval_pert_ctc"].append(pert_ctc)
+        history["eval_pert_wer"].append(pert_wer)
+        log.info(
+            "[sweep %s] epoch %d train_ctc=%s eval_pert_ctc=%s eval_pert_wer=%s active=%s",
+            norm_type, epoch, train_ctc.round(1), pert_ctc.round(1),
+            pert_wer.round(3), np.asarray(active, np.int32),
+        )
+
+        # per-cell best tracking / early stopping (run_attack.py:149-183)
+        p_host = np.asarray(p_s)
+        wall = time.perf_counter() - t_start
+        for i in range(S):
+            if no_improve_s[i] >= cfg.early_stopping:
+                continue  # cell already stopped; state frozen by the mask
+            current = pert_wer[i] if cfg.attack_mode == "targeted" else pert_ctc[i]
+            if scoring.is_better(current, best_score_s[i], cfg.attack_mode):
+                no_improve_s[i] = 0
+                best_score_s[i] = current
+                best_epoch_s[i] = epoch
+                best_p_s[i] = p_host[i]
+                checkpoint.save_perturbation(
+                    os.path.join(cell_dirs[i], "perturbation.npy"), p_host[i]
+                )
+            else:
+                no_improve_s[i] += 1
+            hist_i = {k: [float(v[i]) for v in history[k]] for k in history_keys}
+            with open(os.path.join(cell_dirs[i], "metrics.jsonl"), "a") as f:
+                f.write(json.dumps({
+                    "epoch": epoch, "train_ctc": hist_i["train_ctc"][-1],
+                    "train_wer": hist_i["train_wer"][-1],
+                    "eval_clean_ctc": clean_eval[0], "eval_clean_wer": clean_eval[1],
+                    "eval_pert_ctc": float(pert_ctc[i]),
+                    "eval_pert_wer": float(pert_wer[i]),
+                    "lr": optimizers.step_lr(cfg, epoch),
+                }) + "\n")
+            artifacts.save_json_results(
+                cell_dirs[i], norm_type, sizes[i],
+                epoch=epoch, finished_training=False,
+                eval_score_clean={"ctc": clean_eval[0], "wer": clean_eval[1]},
+                eval_score_perturbed={
+                    "ctc": scoring.best_agg(hist_i["eval_pert_ctc"], cfg.attack_mode),
+                    "wer": scoring.best_agg(hist_i["eval_pert_wer"], cfg.attack_mode),
+                },
+                train_score={
+                    "ctc": scoring.best_agg(hist_i["train_ctc"], cfg.attack_mode),
+                    "wer": scoring.best_agg(hist_i["train_wer"], cfg.attack_mode),
+                },
+                sweep_steps_per_sec=n_steps * S / wall if wall else None,
+            )
+
+        checkpoint.save_checkpoint(ckpt_path, {
+            "p_s": p_s, "opt_s": opt_s, "epoch": epoch,
+            "best_score_s": best_score_s, "best_p_s": best_p_s,
+            "best_epoch_s": best_epoch_s, "no_improve_s": no_improve_s,
+            "history": {k: np.stack(history[k]) for k in history_keys},
+            "clean_eval": np.asarray(
+                clean_eval if clean_eval else (np.inf, np.inf), np.float64
+            ),
+        })
+        if np.all(no_improve_s >= cfg.early_stopping):
+            log.info("[sweep %s] every cell early-stopped at epoch %d", norm_type, epoch)
+            break
+    wall = time.perf_counter() - t_start
+
+    # -- finalize: best p per cell on the test split (run_attack.py:185-261)
+    best_p_dev = jnp.asarray(best_p_s)
+    test_pert_ctc, test_pert_wer = _evaluate_cells(pipe.test, best_p_dev)
+    test_clean = _evaluate_clean(pipe.test)
+    norm_summary = []
+    for i, size in enumerate(sizes):
+        hist_i = {k: [float(v[i]) for v in history[k]] for k in history_keys}
+        artifacts.save_epoch_bundle(cell_dirs[i], best_p_s[i][0], cfg)
+        artifacts.save_json_results(
+            cell_dirs[i], norm_type, size,
+            epoch=int(best_epoch_s[i]), finished_training=True,
+            best_epoch=int(best_epoch_s[i]),
+            best_train_score={
+                "ctc": scoring.best_agg(hist_i["train_ctc"], cfg.attack_mode),
+                "wer": scoring.best_agg(hist_i["train_wer"], cfg.attack_mode),
+            },
+            eval_score_clean={"ctc": test_clean[0], "wer": test_clean[1]},
+            eval_score_perturbed={"ctc": float(test_pert_ctc[i]), "wer": float(test_pert_wer[i])},
+            final_test_clean={"ctc": test_clean[0], "wer": test_clean[1]},
+            final_test_perturbed={"ctc": float(test_pert_ctc[i]), "wer": float(test_pert_wer[i])},
+            sweep_steps_per_sec=n_steps * S / wall if wall else None,
+        )
+        norm_summary.append({
+            "size": float(size),
+            "best_epoch": int(best_epoch_s[i]),
+            "best_eval_score": float(best_score_s[i]),
+            "best_eval_pert_ctc": scoring.best_agg(hist_i["eval_pert_ctc"], cfg.attack_mode),
+            "best_eval_pert_wer": scoring.best_agg(hist_i["eval_pert_wer"], cfg.attack_mode),
+            "final_ctc": hist_i["train_ctc"][-1] if hist_i["train_ctc"] else None,
+            "test_clean_ctc": test_clean[0], "test_clean_wer": test_clean[1],
+            "test_pert_ctc": float(test_pert_ctc[i]),
+            "test_pert_wer": float(test_pert_wer[i]),
+            "dir": cell_dirs[i],
+        })
+    return {
+        "cells": norm_summary,
+        "cell_steps_per_sec": n_steps * S / wall if wall else None,
+        "mesh": f"(sweep={n_sweep}, data={n_dev // n_sweep})",
+    }
 
 
 def main() -> int:

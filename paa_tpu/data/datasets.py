@@ -10,9 +10,8 @@ Supported sources:
   * ``synthetic``     — offline deterministic corpus (always available).
   * ``LibreeSpeech``  — the reference's (sic) LibriSpeech union over
     test-clean/test-other/dev-clean/dev-other (build.py:118-133): reads a
-    local LibriSpeech-layout directory of WAV/transcript files via the
-    stdlib (FLAC needs soundfile, unavailable here), or falls back to HF
-    datasets when importable + cached.
+    local LibriSpeech-layout directory — WAV via the stdlib, FLAC via the
+    optional ``soundfile`` import (the upstream distribution format).
   * ``CommonVoice`` / ``tedlium`` — HF datasets adapters mirroring
     build.py:135-163 (require a local HF cache).
 
@@ -55,13 +54,40 @@ def _read_wav(path: str) -> tuple[np.ndarray, int]:
     return x, sr
 
 
+def _read_flac(path: str) -> tuple[np.ndarray, int]:
+    """FLAC decode via soundfile, gated as an optional import (the
+    upstream LibriSpeech distribution is FLAC; reference decodes it with
+    torchaudio, build.py:118-133)."""
+    try:
+        import soundfile as sf
+    except ImportError as e:  # pragma: no cover - env dependent
+        raise RuntimeError(
+            f"Decoding {path!r} requires the optional 'soundfile' package "
+            "(FLAC). Install soundfile, or convert the tree to WAV."
+        ) from e
+    x, sr = sf.read(path, dtype="float32", always_2d=False)
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    return x, int(sr)
+
+
+def _read_audio(path: str) -> tuple[np.ndarray, int]:
+    if path.lower().endswith(".flac"):
+        return _read_flac(path)
+    return _read_wav(path)
+
+
+_AUDIO_EXTS = (".wav", ".WAV", ".flac", ".FLAC")
+
+
 def _iter_librispeech_pairs(root: str):
     """Walk a LibriSpeech-layout tree: speaker/chapter/*.trans.txt + audio.
 
-    Audio must be WAV (this environment has no FLAC decoder); transcript
-    files use the standard ``<utt-id> <TEXT>`` lines. Yields
-    ``(audio_path, text)`` WITHOUT decoding — the caller shuffles the
-    index before paying for decode.
+    Audio may be WAV (stdlib decode) or FLAC (needs soundfile, see
+    ``_read_flac``); transcript files use the standard ``<utt-id> <TEXT>``
+    lines. Yields ``(audio_path, text)`` WITHOUT decoding — the caller
+    shuffles the index before paying for decode.
     """
     for dirpath, _dirnames, filenames in os.walk(root):
         trans = [f for f in filenames if f.endswith(".trans.txt")]
@@ -69,7 +95,7 @@ def _iter_librispeech_pairs(root: str):
             with open(os.path.join(dirpath, tf)) as fh:
                 for line in fh:
                     utt, _, text = line.strip().partition(" ")
-                    for ext in (".wav", ".WAV"):
+                    for ext in _AUDIO_EXTS:
                         ap = os.path.join(dirpath, utt + ext)
                         if os.path.exists(ap):
                             yield ap, text
@@ -96,7 +122,7 @@ def _load_librispeech(data_root: str | None, target_size: int, seed: int):
     samples = []
     for i in order[:target_size]:
         path, text = pairs[i]
-        wav, sr = _read_wav(path)
+        wav, sr = _read_audio(path)
         samples.append((wav, sr, text))
     return samples
 

@@ -108,6 +108,16 @@ class Wav2Vec2Config:
     # the Pallas TPU flash-attention kernel — probs never hit HBM, with
     # a custom VJP so ∂loss/∂waveform still flows. TPU only.
     attention_impl: str = "xla"
+    # Pallas flash-attention block size (0 = the kernel's 128 default).
+    # At the production seq (~625 → padded 640) larger q/k blocks cut
+    # grid/revisit overhead; tune per shape on the real chip.
+    flash_block: int = 0
+    # lax.scan unroll factor for the stacked encoder layers. 1 = rolled
+    # loop (smallest program, but the scan backward stacks every layer's
+    # residuals with dynamic-update-slices — measured ~41 ms/step at
+    # production shape). num_hidden_layers = fully unrolled: residuals
+    # become plain SSA values, no stacking traffic, larger program.
+    encoder_unroll: int = 1
 
     def __post_init__(self):
         checks = {
@@ -431,7 +441,7 @@ class SelfAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         if cfg.attention_impl == "flash":
-            ctx = _flash_attention(q, k, v, cfg.dtype)
+            ctx = _flash_attention(q, k, v, cfg.dtype, block=cfg.flash_block)
         else:
             # scores stay in compute dtype (bf16): the O(T²) buffer is
             # the encoder's largest HBM write/read, and the softmax
@@ -454,15 +464,25 @@ class SelfAttention(nn.Module):
         return dense("out_proj")(ctx)
 
 
-def _flash_attention(q, k, v, dtype) -> jnp.ndarray:
+def _flash_attention(q, k, v, dtype, block: int = 0) -> jnp.ndarray:
     """Pallas TPU flash attention over ``(B, T, heads, head_dim)`` inputs
     (q pre-scaled). T is zero-padded to a lane multiple; padded keys are
     masked out via segment ids so real queries see exactly the real keys,
-    and padded query rows are sliced off after the kernel."""
+    and padded query rows are sliced off after the kernel. ``block`` > 0
+    overrides the kernel's 128×128 default block size (clamped to the
+    padded sequence)."""
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     B, T, nh, hd = q.shape
     Tp = max(128, -(-T // 128) * 128)
+    block_sizes = None
+    if block > 0:
+        b = min(block, Tp)
+        block_sizes = fa.BlockSizes(
+            block_q=b, block_k_major=b, block_k=b, block_b=1,
+            block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+            block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
+        )
     pad = [(0, 0), (0, Tp - T), (0, 0), (0, 0)]
     to_bhtd = lambda t: jnp.transpose(jnp.pad(t, pad), (0, 2, 1, 3)).astype(dtype)
     seg = jnp.broadcast_to((jnp.arange(Tp) < T).astype(jnp.int32), (B, Tp))
@@ -470,6 +490,7 @@ def _flash_attention(q, k, v, dtype) -> jnp.ndarray:
         to_bhtd(q), to_bhtd(k), to_bhtd(v),
         segment_ids=fa.SegmentIds(q=seg, kv=seg),
         sm_scale=1.0,
+        block_sizes=block_sizes,
     )
     return jnp.transpose(out[:, :, :T, :], (0, 2, 1, 3))
 
@@ -541,6 +562,7 @@ class Encoder(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=cfg.num_hidden_layers,
+            unroll=min(cfg.encoder_unroll, cfg.num_hidden_layers),
             metadata_params={nn.meta.PARTITION_NAME: None},
         )(cfg, name="layers")
         x, _ = stack(x, None)

@@ -64,13 +64,6 @@ def collapse_mask(ids: jnp.ndarray) -> jnp.ndarray:
     return (ids != prev) & (ids != PAD_ID)
 
 
-def collapsed_frame_counts(ids: jnp.ndarray) -> jnp.ndarray:
-    """Cheap on-device proxy metric: number of surviving frames per
-    example (used for progress displays; true WER runs on host via
-    ops/wer.py)."""
-    return jnp.sum(collapse_mask(ids), axis=-1)
-
-
 def loss_and_logits(apply_fn, params, audio, labels, label_paddings, reduction="sum"):
     """Convenience: model forward + CTC loss (mirrors the reference's
     ``get_loss_for_training`` contract, src/core/loss_helpers.py:12-23)."""

@@ -32,8 +32,69 @@ _lib = None
 _lib_tried = False
 
 
+def _build_so():
+    # build inside the destination dir: os.replace from a /tmp on
+    # a different filesystem raises EXDEV and would silently
+    # disable the kernel forever
+    with tempfile.TemporaryDirectory(dir=_NATIVE_DIR) as td:
+        tmp_so = os.path.join(td, "_levenshtein.so")
+        subprocess.run(
+            ["cc", "-O3", "-shared", "-fPIC", "-o", tmp_so, _C_SOURCE],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp_so, _SO_PATH)
+
+
+def _open_so():
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.batched_edit_distance.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.batched_edit_distance.restype = None
+    return lib
+
+
+def _self_test(lib) -> bool:
+    """Validate the loaded kernel against the numpy DP on known cases —
+    an mtime check alone cannot prove a committed/cached .so matches the
+    current levenshtein.c (e.g. after a git checkout resets both mtimes)."""
+    cases = [
+        ([1, 2, 3], [1, 2, 3]),  # equal → 0
+        ([1, 2, 3], [1, 3]),     # delete → 1
+        ([], [4, 5]),            # empty pred → 2
+        ([1, 2], [3, 4]),        # disjoint → 2
+        ([1, 2, 3, 4], [2, 1, 3, 5]),  # mixed → 3
+    ]
+    a = np.asarray([x for c in cases for x in c[0]], np.int32)
+    b = np.asarray([x for c in cases for x in c[1]], np.int32)
+    a_off = np.cumsum([0] + [len(c[0]) for c in cases]).astype(np.int64)
+    b_off = np.cumsum([0] + [len(c[1]) for c in cases]).astype(np.int64)
+    out = np.empty(len(cases), np.int64)
+    lib.batched_edit_distance(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        a_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(cases),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    expected = [
+        _edit_distance_numpy(np.asarray(pa, np.int32), np.asarray(pb, np.int32))
+        for pa, pb in cases
+    ]
+    return out.tolist() == expected
+
+
 def _load_native():
-    """Compile (if needed) and load the C kernel; None on any failure."""
+    """Compile (if needed), load, and SELF-TEST the C kernel; None on any
+    failure. A kernel that fails the self-test against the numpy DP is
+    rebuilt from source once and re-tested before giving up."""
     global _lib, _lib_tried
     if _lib_tried:
         return _lib
@@ -43,27 +104,14 @@ def _load_native():
             os.path.getmtime(_SO_PATH) < os.path.getmtime(_C_SOURCE)
         )
         if needs_build:
-            # build inside the destination dir: os.replace from a /tmp on
-            # a different filesystem raises EXDEV and would silently
-            # disable the kernel forever
-            with tempfile.TemporaryDirectory(dir=_NATIVE_DIR) as td:
-                tmp_so = os.path.join(td, "_levenshtein.so")
-                subprocess.run(
-                    ["cc", "-O3", "-shared", "-fPIC", "-o", tmp_so, _C_SOURCE],
-                    check=True,
-                    capture_output=True,
-                )
-                os.replace(tmp_so, _SO_PATH)
-        lib = ctypes.CDLL(_SO_PATH)
-        lib.batched_edit_distance.argtypes = [
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.batched_edit_distance.restype = None
+            _build_so()
+        lib = _open_so()
+        if not _self_test(lib):
+            logger.warning("stale native levenshtein kernel; rebuilding from source")
+            _build_so()
+            lib = _open_so()
+            if not _self_test(lib):
+                raise RuntimeError("rebuilt kernel still fails self-test")
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain dependent
         logger.warning("native levenshtein unavailable (%s); using numpy fallback", e)

@@ -172,19 +172,33 @@ def save_json_results(save_dir: str, norm_type: str, attack_size, **kwargs):
 
     clean = first_present("final_test_clean", "test_loss_clean")
     pert = first_present("final_test_perturbed", "test_loss_perturbed")
+    # a clean score of exactly 0 (plausible for WER with strong models on a
+    # small split) yields null, not bare Infinity — results.json must stay
+    # strict JSON for non-Python consumers
     if clean is not None and pert is not None:
         if isinstance(clean, dict):
             results["perturbation_efficiency"] = {
-                k: pert[k] / clean[k] if clean.get(k) else float("inf") for k in clean
+                k: pert[k] / clean[k] if clean.get(k) else None for k in clean
             }
         else:
-            results["perturbation_efficiency"] = pert / clean if clean else float("inf")
+            results["perturbation_efficiency"] = pert / clean if clean else None
 
     tmp = json_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(_finite_or_none(results), f, indent=2, allow_nan=False)
     os.replace(tmp, json_path)
     return json_path
+
+
+def _finite_or_none(v):
+    """Map non-finite numbers to null so results.json is strict JSON."""
+    if isinstance(v, dict):
+        return {k: _finite_or_none(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_finite_or_none(x) for x in v]
+    if isinstance(v, float) and not np.isfinite(v):
+        return None
+    return v
 
 
 def inspect_samples(
@@ -232,6 +246,40 @@ def save_epoch_bundle(save_dir: str, p, cfg):
     save_audio(os.path.join(save_dir, "perturbation_5x.wav"), p, cfg.sr, amplify=5.0)
     plot_pert(os.path.join(save_dir, "perturbation.png"), p, cfg.sr)
     stft_plot(os.path.join(save_dir, "perturbation_stft"), p, cfg)
+
+
+def save_debug_plots(save_dir: str, p, cfg, cparams, tables, tag: str = ""):
+    """Projection debug artifacts for the perceptual constraints.
+
+    The reference emits the 3-panel phon plot from *inside* the projection
+    (reference: src/core/projections.py:156-157 → save.py:260-294) — an
+    L2→side-layer violation that would also force a host sync into the
+    jitted step. Here the same panels are reproduced on the host from the
+    materialized perturbation on improvement epochs (--debug_plots)."""
+    if not HAVE_MPL:
+        return
+    import jax.numpy as jnp
+
+    from paa_tpu.ops import dsp, psycho
+
+    if cfg.norm_type not in ("max_phon", "fletcher_munson"):
+        return
+    x = jnp.asarray(np.asarray(p, np.float32).reshape(1, -1))
+    # |STFT| materialized as a real array (complex device→host copies are
+    # unimplemented on the tunneled TPU backend; see stft_plot)
+    mag = np.asarray(jnp.abs(dsp.stft(x, cfg.n_fft, cfg.hop_length, cfg.win_length)))
+    if cfg.norm_type == "max_phon":
+        mag_db = 20.0 * np.log10(mag + 1e-8)
+        contour = np.asarray(psycho.phon_contour(tables, cparams.max_phon_level))
+        scaled_thresh = contour - contour.max() + cfg.phon_reference_db
+        clipped = np.minimum(mag_db, scaled_thresh[:, None])
+        plot_debug_phon(mag_db, clipped, scaled_thresh, cfg, save_dir, tag=tag)
+    else:  # fletcher_munson: the per-bin perceptual sensitivity curve
+        # at 60 phon — the table row a typical speech-level cell lerps to
+        plot_fm_weights(
+            np.asarray(tables.bin_freqs), np.asarray(tables.fm_table)[6],
+            path=os.path.join(save_dir, f"fm_weights_{tag}.png" if tag else "fm_weights.png"),
+        )
 
 
 def plot_debug_phon(mag_db, mag_db_clipped, scaled_thresh, cfg, save_dir, tag=""):

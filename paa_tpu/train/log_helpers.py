@@ -49,18 +49,18 @@ def log_epoch_metrics(
     eval_wer_perturbed: float,
     step_time_ms: float | None = None,
 ) -> None:
-    """Epoch metric table (reference: log_helpers.py:16-40) + step timing."""
+    """Per-epoch metric block (same content as the reference's epoch
+    table, log_helpers.py:16-40, restyled) + step timing."""
+    head = f"── epoch {epoch + 1}/{num_epochs} "
     lines = [
-        "=" * 70,
-        f"Epoch {epoch}/{num_epochs} summary:",
-        f"{'Metric':<10} | {'Train':>10} | {'Eval Clean':>12} | {'Eval Perturbed':>16}",
-        "-" * 70,
-        f"{'CTC':<10} | {train_ctc:>10.0f} | {eval_ctc_clean:>12.0f} | {eval_ctc_perturbed:>16.0f}",
-        f"{'WER':<10} | {train_wer:>10.2f} | {eval_wer_clean:>12.2f} | {eval_wer_perturbed:>16.2f}",
+        head + "─" * max(0, 62 - len(head)),
+        f"{'':>8}  {'train':>12}  {'eval/clean':>12}  {'eval/perturbed':>14}",
+        f"{'ctc':>8}  {train_ctc:>12.1f}  {eval_ctc_clean:>12.1f}  {eval_ctc_perturbed:>14.1f}",
+        f"{'wer':>8}  {train_wer:>12.3f}  {eval_wer_clean:>12.3f}  {eval_wer_perturbed:>14.3f}",
     ]
     if step_time_ms is not None:
-        lines.append(f"{'ms/step':<10} | {step_time_ms:>10.1f} |")
-    lines.append("=" * 70)
+        lines.append(f"{'ms/step':>8}  {step_time_ms:>12.1f}")
+    lines.append("─" * 62)
     for line in lines:
         logger.info(line)
 
@@ -75,28 +75,16 @@ def log_summary_metrics(
     pert_wer_test: float,
     best_epoch: int,
 ) -> None:
-    """Final summary table (reference: log_helpers.py:43-70)."""
+    """Final report block (same content as the reference's summary
+    table, log_helpers.py:43-70, restyled)."""
     lines = [
-        "=" * 70,
-        "Summary",
-        "=" * 70,
-        f"{'Perturbation norm type:':<30} {norm_type}",
-        f"{'Perturbation size:':<30} {attack_size_string}",
-        "-" * 70,
-        f"{'Metric':<20} | {'Clean Test':>15} | {'Perturbed Test':>15}",
-        "-" * 70,
-        f"Best epoch: {best_epoch}",
-        f"{'CTC':<20} | {clean_ctc_test:>15.2f} | {pert_ctc_test:>15.2f}",
-        f"{'WER':<20} | {clean_wer_test:>15.3f} | {pert_wer_test:>15.3f}",
-        "=" * 70,
+        "═" * 62,
+        f"final report — {norm_type} @ {attack_size_string} (best epoch {best_epoch})",
+        "═" * 62,
+        f"{'':>8}  {'test/clean':>14}  {'test/perturbed':>14}",
+        f"{'ctc':>8}  {clean_ctc_test:>14.2f}  {pert_ctc_test:>14.2f}",
+        f"{'wer':>8}  {clean_wer_test:>14.3f}  {pert_wer_test:>14.3f}",
+        "═" * 62,
     ]
     for line in lines:
         logger.info(line)
-
-
-def log_train_progress(batch_idx: int, total: int, avg_ctc: float, avg_wer: float, avg_ms: float):
-    """Batch progress line (reference: log_helpers.py:73-89)."""
-    logger.info(
-        "Batch %d/%d | avg CTC: %.0f | avg WER: %.3f | avg time: %.1f ms",
-        batch_idx, total, avg_ctc, avg_wer, avg_ms,
-    )

@@ -49,16 +49,15 @@ class RunResult:
 
 
 def _targeted_labels(cfg: AttackConfig, batch_size: int, label_len: int):
+    """Targeted label grid: the repeated phrase, padded to at least the
+    corpus label width. A phrase needing MORE slots than the corpus
+    allocated simply widens the grid — targeted steps always feed these
+    labels, so shapes stay consistent (the reference has no such coupling;
+    src/core/loss_helpers.py:14-20)."""
     texts = text_ops.clean_transcripts(
         text_ops.targeted_texts(cfg.target, cfg.target_reps, batch_size)
     )
-    labels, pads = text_ops.encode_batch(texts, pad_to=label_len)
-    if labels.shape[1] > label_len:
-        raise ValueError(
-            f"Targeted phrase needs {labels.shape[1]} label slots, split has {label_len}; "
-            "reduce --target_reps"
-        )
-    return labels, pads
+    return text_ops.encode_batch(texts, pad_to=label_len)
 
 
 def _batch_wer(ids: np.ndarray, ref_texts: list[str]) -> float:
@@ -90,10 +89,13 @@ class AttackRunner:
             self.train_step = attack_step.make_sharded_step(
                 cfg, apply_fn, self.tables, mesh
             )
+            # eval rides the same mesh: clean + perturbed passes shard the
+            # batch instead of leaving N-1 chips idle per epoch
+            self.eval_step = attack_step.make_sharded_eval_step(cfg, apply_fn, mesh)
             logger.info("data-parallel mesh over %d devices", n_dev)
         else:
             self.train_step = attack_step.make_train_step(cfg, apply_fn, self.tables)
-        self.eval_step = attack_step.make_eval_step(cfg, apply_fn)
+            self.eval_step = attack_step.make_eval_step(cfg, apply_fn)
 
         L = pipe.train.labels.shape[1]
         if cfg.attack_mode == "targeted":
@@ -187,39 +189,42 @@ class AttackRunner:
 
     def inspect_samples(self, p, num_items: int, seed: int = 0) -> list[dict]:
         """Random test samples: clean/perturbed audio + prediction triple
-        (reference: save.py:49-101)."""
+        (reference: save.py:49-101). ``num_items`` is bounded only by the
+        test split — batches beyond ``batch_size`` run extra eval steps
+        (the reference samples the test set freely, save.py:59)."""
         split = self.pipe.test
         rng = np.random.default_rng(seed)
-        n = min(num_items, len(split), self.cfg.batch_size)
+        n = min(num_items, len(split))
         idx = rng.choice(len(split), size=n, replace=False)
-        batch = split.collate(idx, self.cfg.batch_size)
-        w = np.asarray(batch.weights) > 0
-        clean_m = self.eval_step(
-            self.model_params, jnp.zeros_like(p), batch.audio, batch.labels,
-            batch.label_paddings, batch.weights,
-        )
-        pert_m = self.eval_step(
-            self.model_params, p, batch.audio, batch.labels,
-            batch.label_paddings, batch.weights,
-        )
         p_np = np.asarray(p)[0]
-        clean_preds = text_ops.decode_batch(np.asarray(clean_m.greedy_ids))
-        pert_preds = text_ops.decode_batch(np.asarray(pert_m.greedy_ids))
         out = []
-        for j in range(self.cfg.batch_size):
-            if not w[j]:
-                continue
-            row = int(batch.indices[j])
-            audio = batch.audio[j]
-            out.append(
-                dict(
-                    clean=audio,
-                    perturbed=np.clip(audio + p_np[: len(audio)], -1, 1),
-                    ground_truth=split.texts[row],
-                    clean_pred=clean_preds[j].lower(),
-                    pert_pred=pert_preds[j].lower(),
-                )
+        for start in range(0, n, self.cfg.batch_size):
+            batch = split.collate(idx[start : start + self.cfg.batch_size], self.cfg.batch_size)
+            w = np.asarray(batch.weights) > 0
+            clean_m = self.eval_step(
+                self.model_params, jnp.zeros_like(p), batch.audio, batch.labels,
+                batch.label_paddings, batch.weights,
             )
+            pert_m = self.eval_step(
+                self.model_params, p, batch.audio, batch.labels,
+                batch.label_paddings, batch.weights,
+            )
+            clean_preds = text_ops.decode_batch(np.asarray(clean_m.greedy_ids))
+            pert_preds = text_ops.decode_batch(np.asarray(pert_m.greedy_ids))
+            for j in range(self.cfg.batch_size):
+                if not w[j]:
+                    continue
+                row = int(batch.indices[j])
+                audio = batch.audio[j]
+                out.append(
+                    dict(
+                        clean=audio,
+                        perturbed=np.clip(audio + p_np[: len(audio)], -1, 1),
+                        ground_truth=split.texts[row],
+                        clean_pred=clean_preds[j].lower(),
+                        pert_pred=pert_preds[j].lower(),
+                    )
+                )
         return out
 
 
@@ -233,6 +238,7 @@ def run_attack(
     num_items_to_inspect: int = 12,
     resume: bool = True,
     init_p: np.ndarray | None = None,
+    debug_plots: bool = False,
 ) -> RunResult:
     """Full attack run with best-tracking, early stopping and artifacts
     (reference: src/run_attack.py:13-279). ``init_p`` warm-starts from a
@@ -361,6 +367,11 @@ def run_attack(
             best_p = np.asarray(p)
             checkpoint.save_perturbation(pert_path, p)
             artifacts.save_epoch_bundle(save_dir, np.asarray(p)[0], cfg)
+            if debug_plots:
+                artifacts.save_debug_plots(
+                    save_dir, np.asarray(p), cfg, cparams, runner.tables,
+                    tag=f"epoch{epoch}",
+                )
             if num_items_to_inspect > 0:
                 artifacts.inspect_samples(
                     save_dir,

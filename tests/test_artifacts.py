@@ -62,6 +62,47 @@ def test_inspect_untargeted_routing(tmp_path):
     assert os.path.exists(tmp_path / "sus_sample_1" / "perturbed.wav")
 
 
+def test_save_json_results_zero_clean_stays_strict_json(tmp_path):
+    """A clean score of 0 must yield null, not bare Infinity —
+    results.json stays parseable by strict JSON consumers (jq etc.)."""
+    d = str(tmp_path)
+    artifacts.save_json_results(
+        d, "snr", 64.0,
+        final_test_clean={"ctc": 100.0, "wer": 0.0},
+        final_test_perturbed={"ctc": 150.0, "wer": 0.4},
+        stray=float("nan"),
+    )
+    raw = open(os.path.join(d, "results.json")).read()
+    assert "Infinity" not in raw and "NaN" not in raw
+    r = json.loads(raw)
+    assert r["perturbation_efficiency"]["wer"] is None
+    assert r["perturbation_efficiency"]["ctc"] == pytest.approx(1.5)
+    assert r["stray"] is None
+
+
+def test_debug_plots_written(tmp_path):
+    """--debug_plots parity artifacts: the phon 3-panel and FM weight
+    curve actually appear (reference: save.py:260-294, 203-218)."""
+    if not artifacts.HAVE_MPL:
+        pytest.skip("matplotlib unavailable")
+    from paa_tpu.config import ConstraintParams
+    from paa_tpu.ops import psycho
+
+    rng = np.random.default_rng(0)
+    p = rng.standard_normal((1, 16000)).astype(np.float32) * 0.01
+    cparams = ConstraintParams.create(max_phon_level=25.0)
+
+    cfg = AttackConfig(norm_type="max_phon")
+    artifacts.save_debug_plots(str(tmp_path), p, cfg, cparams,
+                               psycho.build_tables(cfg), tag="epoch3")
+    assert os.path.exists(tmp_path / "phon_projection_debug_epoch3.png")
+
+    cfg_fm = AttackConfig(norm_type="fletcher_munson")
+    artifacts.save_debug_plots(str(tmp_path), p, cfg_fm, cparams,
+                               psycho.build_tables(cfg_fm), tag="epoch3")
+    assert os.path.exists(tmp_path / "fm_weights_epoch3.png")
+
+
 def test_stft_plot_writes_pngs(tmp_path):
     cfg = AttackConfig()
     rng = np.random.default_rng(0)

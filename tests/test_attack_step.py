@@ -202,6 +202,21 @@ def test_sharded_step_matches_single(setup):
     np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-7)
 
 
+def test_sharded_eval_matches_single(setup):
+    """Eval sharded over the 8-device mesh == the single-device eval step
+    (same unclamped-add semantics, batch split along 'data')."""
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig(norm_type="linf")
+    single = attack_step.make_eval_step(cfg, apply_fn)
+    sharded = attack_step.make_sharded_eval_step(cfg, apply_fn, mesh_lib.data_mesh(8))
+    w = jnp.ones((B,), jnp.float32)
+    p = jnp.full((1, T), 0.01, jnp.float32)
+    m_a = single(params, p, audio, labels, pads, w)
+    m_b = sharded(params, p, audio, labels, pads, w)
+    np.testing.assert_allclose(float(m_a.ctc_loss), float(m_b.ctc_loss), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_a.greedy_ids), np.asarray(m_b.greedy_ids))
+
+
 def test_sharded_step_with_accum_matches(setup):
     """Data-parallel mesh × microbatch accumulation — the reshape to
     (A, B/A, ...) must stay consistent with the batch sharding."""

@@ -1,4 +1,10 @@
-"""Data pipeline tests: synthetic corpus, length filter, splits, collate."""
+"""Data pipeline tests: synthetic corpus, real-data adapters (fixture
+LibriSpeech tree, mocked HF datasets), length filter, splits, collate."""
+
+import os
+import sys
+import types
+import wave as wave_mod
 
 import numpy as np
 import pytest
@@ -35,6 +41,142 @@ def test_load_dataset_unavailable_sources_raise():
         datasets.load_dataset_tuples("LibreeSpeech", data_root="/nonexistent")
     with pytest.raises(ValueError):
         datasets.load_dataset_tuples("bogus")
+
+
+# -- LibriSpeech-layout adapter (fixture tree, no network) --------------------
+
+
+def _write_wav(path, wav, sr=16000):
+    pcm = (np.clip(wav, -1, 1) * 32767.0).astype("<i2")
+    with wave_mod.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+
+
+@pytest.fixture
+def librispeech_tree(tmp_path):
+    """Tiny LibriSpeech-layout tree: speaker/chapter/{*.trans.txt, *.wav}."""
+    rng = np.random.default_rng(3)
+    expected = {}
+    for spk, chap, n_utts in (("19", "198", 3), ("26", "495", 2)):
+        d = tmp_path / spk / chap
+        d.mkdir(parents=True)
+        lines = []
+        for u in range(n_utts):
+            utt = f"{spk}-{chap}-{u:04d}"
+            text_u = f"UTTERANCE {spk} {chap} {u}"
+            wav = rng.standard_normal(1600 + 100 * u).astype(np.float32) * 0.1
+            _write_wav(str(d / f"{utt}.wav"), wav)
+            expected[utt] = (text_u, len(wav))
+            lines.append(f"{utt} {text_u}")
+        (d / f"{spk}-{chap}.trans.txt").write_text("\n".join(lines) + "\n")
+    return tmp_path, expected
+
+
+def test_iter_librispeech_pairs(librispeech_tree):
+    root, expected = librispeech_tree
+    pairs = list(datasets._iter_librispeech_pairs(str(root)))
+    assert len(pairs) == len(expected) == 5
+    for path, text_u in pairs:
+        utt = os.path.splitext(os.path.basename(path))[0]
+        assert expected[utt][0] == text_u
+
+
+def test_load_librispeech_decodes_and_caps(librispeech_tree):
+    root, expected = librispeech_tree
+    samples = datasets._load_librispeech(str(root), target_size=4, seed=5)
+    assert len(samples) == 4  # capped below the 5 on disk
+    for wav, sr, text_u in samples:
+        assert sr == 16000 and wav.dtype == np.float32
+        utt_lens = {v[1] for v in expected.values()}
+        assert len(wav) in utt_lens
+
+
+def test_load_dataset_tuples_librispeech_end_to_end(librispeech_tree):
+    root, _ = librispeech_tree
+    samples = datasets.load_dataset_tuples("LibreeSpeech", data_root=str(root))
+    assert len(samples) == 5
+    assert all(isinstance(t, str) and len(w) > 0 for (w, _, t) in samples)
+
+
+def test_read_flac_requires_soundfile(tmp_path):
+    """Without the optional soundfile import, FLAC decode fails with a
+    clear gate error (never a bare ImportError mid-pipeline)."""
+    flac = tmp_path / "x.flac"
+    flac.write_bytes(b"fLaC....")
+    if any(m == "soundfile" for m in sys.modules):
+        pytest.skip("soundfile installed; gate not reachable")
+    with pytest.raises(RuntimeError, match="soundfile"):
+        datasets._read_audio(str(flac))
+
+
+# -- HF adapters (CommonVoice / TEDLIUM), mocked datasets module ---------------
+
+
+class _FakeHFDataset:
+    def __init__(self, rows):
+        self.rows = rows
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __iter__(self):
+        return iter(self.rows)
+
+    def shuffle(self, seed):
+        rng = np.random.default_rng(seed)
+        return _FakeHFDataset([self.rows[i] for i in rng.permutation(len(self.rows))])
+
+    def select(self, idx):
+        return _FakeHFDataset([self.rows[i] for i in idx])
+
+    def cast_column(self, name, audio):
+        assert name == "audio" and audio.sampling_rate == 16_000
+        return self
+
+
+def _fake_datasets_module(text_key, expected_name):
+    rng = np.random.default_rng(0)
+    rows = [
+        {
+            "audio": {
+                "array": rng.standard_normal(800).astype(np.float64),
+                "sampling_rate": 16_000,
+            },
+            text_key: f"sentence number {i}",
+        }
+        for i in range(6)
+    ]
+    mod = types.ModuleType("datasets")
+
+    class Audio:
+        def __init__(self, sampling_rate):
+            self.sampling_rate = sampling_rate
+
+    def load_dataset(name, *a, **k):
+        assert expected_name in name
+        return _FakeHFDataset(rows)
+
+    mod.Audio = Audio
+    mod.load_dataset = load_dataset
+    return mod
+
+
+@pytest.mark.parametrize(
+    "dataset,text_key,hub_name",
+    [("CommonVoice", "sentence", "common_voice"), ("tedlium", "text", "tedlium")],
+)
+def test_hf_adapters_normalize_tuples(monkeypatch, dataset, text_key, hub_name):
+    """The CommonVoice/TEDLIUM adapters (reference: build.py:135-163)
+    shuffle, cap, resample-cast and normalize to (float32 wav, sr, text)."""
+    monkeypatch.setitem(sys.modules, "datasets", _fake_datasets_module(text_key, hub_name))
+    out = datasets._load_hf(dataset, seed=5, target_size=4)
+    assert len(out) == 4
+    for wav, sr, t in out:
+        assert wav.dtype == np.float32 and sr == 16_000
+        assert t.startswith("sentence number")
 
 
 @pytest.fixture(scope="module")

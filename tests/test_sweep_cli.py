@@ -3,6 +3,9 @@
 Runs the in-process sweep CLI path end-to-end on the 8-device virtual
 CPU mesh with a tiny model + synthetic data, then aggregates the per-cell
 results.json files the way `python -m paa_tpu.cli.aggregate` does.
+Sweep cells are FULL attack runs (per-epoch eval, best-p tracking,
+per-cell early stop, checkpoint/resume), so a one-cell sweep must
+reproduce the single-run loop's result for the same epsilon.
 """
 
 import json
@@ -13,22 +16,26 @@ import pytest
 
 from paa_tpu.cli import aggregate, sweep
 
+pytestmark = pytest.mark.slow  # every test here runs full attack loops
 
-def _sweep_args(tmp_path, **kw):
+
+def _sweep_args(save_root, **kw):
     parser = sweep.create_sweep_parser()
-    argv = [
-        "--dataset", "synthetic",
-        "--synthetic_samples", "48",
-        "--model", "wav2vec2-tiny",
-        "--batch_size", "8",
-        "--num_epochs", "1",
-        "--optimizer_type", "pgd",
-        "--lr", "5e-3",
-        "--save_root", str(tmp_path),
-        "--norms", "linf,l2",
-        "--grid", json.dumps({"linf": [1e-3, 1e-2], "l2": [0.5]}),
-    ]
-    for k, v in kw.items():
+    defaults = {
+        "dataset": "synthetic",
+        "synthetic_samples": 48,
+        "model": "wav2vec2-tiny",
+        "batch_size": 8,
+        "num_epochs": 1,
+        "optimizer_type": "pgd",
+        "lr": 5e-3,
+        "save_root": str(save_root),
+        "norms": "linf,l2",
+        "grid": json.dumps({"linf": [1e-3, 1e-2], "l2": [0.5]}),
+    }
+    defaults.update(kw)
+    argv = []
+    for k, v in defaults.items():
         argv += [f"--{k}", str(v)]
     return parser.parse_args(argv)
 
@@ -51,7 +58,12 @@ def test_sweep_writes_summary_and_cells(sweep_summary):
         for cell in entry["cells"]:
             assert os.path.exists(os.path.join(cell["dir"], "results.json"))
             assert os.path.exists(os.path.join(cell["dir"], "perturbation.npy"))
+            assert os.path.exists(os.path.join(cell["dir"], "metrics.jsonl"))
             assert np.isfinite(cell["final_ctc"])
+            # full-run cells: per-cell eval WER + test metrics recorded
+            assert np.isfinite(cell["test_pert_wer"])
+            assert np.isfinite(cell["best_eval_pert_ctc"])
+            assert cell["best_epoch"] >= 0
 
 
 def test_sweep_cells_satisfy_their_epsilons(sweep_summary):
@@ -72,3 +84,76 @@ def test_aggregate_collects_sweep_results(sweep_summary):
     # every row has finite perturbed-eval CTC
     for r in rows:
         assert r["pert_ctc"] is not None and np.isfinite(r["pert_ctc"])
+
+
+def test_one_cell_sweep_matches_run_attack(tmp_path):
+    """A 1-cell sweep is the reference's single SLURM job: it must
+    reproduce loop.run_attack's result for the same epsilon (reference:
+    submit_scan_range.py:52-66 running run_attack.py:61-183 per cell)."""
+    from paa_tpu.cli import run_attack as cli
+    from paa_tpu.cli.parser import config_from_args, constraint_params_from_args
+    from paa_tpu.config import with_sweep_value
+    from paa_tpu.data import datasets, pipeline as pipeline_lib
+    from paa_tpu.train import loop
+
+    eps = 0.02
+    # float32 forward: under bfloat16 the vmapped cell and the plain step
+    # lower to differently-laid-out matmuls whose rounding differences
+    # Adam then amplifies — the parity claim is about semantics, not
+    # bf16 rounding
+    args = _sweep_args(
+        tmp_path / "sweep", norms="linf", grid=json.dumps({"linf": [eps]}),
+        num_epochs=2, optimizer_type="adam", lr=5e-3, compute_dtype="float32",
+    )
+    summary = sweep.run_sweep(args)
+    cell = summary["linf"]["cells"][0]
+
+    cfg = config_from_args(args).replace(norm_type="linf")
+    cparams = with_sweep_value(constraint_params_from_args(args), "linf", eps)
+    samples = datasets.load_dataset_tuples(
+        "synthetic", seed=args.seed, synthetic_samples=args.synthetic_samples
+    )
+    pipe = pipeline_lib.build_pipeline(samples, seed=args.seed)
+    _, params, apply_fn = cli.load_model_bundle(args)
+    res = loop.run_attack(
+        cfg, apply_fn, params, pipe, str(tmp_path / "single"),
+        cparams=cparams, num_items_to_inspect=0, resume=False,
+    )
+
+    # same best epoch, same perturbation (up to cross-program numerics)
+    assert cell["best_epoch"] == res.best_epoch
+    p_sweep = np.load(os.path.join(cell["dir"], "perturbation.npy"))
+    np.testing.assert_allclose(
+        p_sweep, res.perturbation, rtol=2e-3, atol=1e-6
+    )
+    # results.json parity on the final test metrics
+    r = json.loads(open(os.path.join(cell["dir"], "results.json")).read())
+    assert r["finished_training"] == 1.0
+    np.testing.assert_allclose(
+        r["final_test_perturbed"]["ctc"], res.test_perturbed.ctc, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        r["final_test_clean"]["ctc"], res.test_clean.ctc, rtol=1e-3
+    )
+
+
+def test_sweep_resume_is_exact(tmp_path):
+    """1 epoch + resumed 1 more == 2 uninterrupted epochs: sweep state is
+    fully checkpointed and batch order is (seed, epoch)-pure — the
+    replacement for SLURM requeue-resume (submit_scan_range.py:58)."""
+    grid = json.dumps({"linf": [5e-3]})
+    kw = dict(norms="linf", grid=grid, early_stopping=99)
+
+    s1 = sweep.run_sweep(_sweep_args(tmp_path / "straight", num_epochs=2, **kw))
+    sweep.run_sweep(_sweep_args(tmp_path / "resumed", num_epochs=1, **kw))
+    s2 = sweep.run_sweep(_sweep_args(tmp_path / "resumed", num_epochs=2, **kw))
+
+    d1 = s1["linf"]["cells"][0]["dir"]
+    d2 = s2["linf"]["cells"][0]["dir"]
+    np.testing.assert_array_equal(
+        np.load(os.path.join(d1, "perturbation.npy")),
+        np.load(os.path.join(d2, "perturbation.npy")),
+    )
+    # resumed metrics stream covers both epochs, no duplicates
+    lines = [json.loads(l) for l in open(os.path.join(d2, "metrics.jsonl"))]
+    assert [l["epoch"] for l in lines] == [0, 1]

@@ -155,3 +155,20 @@ def test_conv_impls_match():
         np.testing.assert_allclose(
             np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5, err_msg=impl
         )
+
+
+def test_encoder_unroll_matches_scan():
+    """encoder_unroll is a lowering knob, not a semantic one: fully
+    unrolled layers produce the rolled scan's logits bit-for-bit (the
+    params keep their stacked (num_layers, ...) layout either way)."""
+    params = wav2vec2.init_params(wav2vec2.get_config("wav2vec2-tiny"), example_len=2000)
+    audio = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 2000)).astype(np.float32) * 0.1
+    )
+    outs = []
+    for unroll in (1, 99):
+        m = wav2vec2.Wav2Vec2ForCTC(
+            wav2vec2.get_config("wav2vec2-tiny", encoder_unroll=unroll)
+        )
+        outs.append(np.asarray(jax.jit(m.apply)({"params": params}, audio)))
+    np.testing.assert_array_equal(outs[0], outs[1])
