@@ -47,6 +47,7 @@ REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "full")
 PALLAS_FM = os.environ.get("BENCH_PALLAS_FM")  # default: on unless CPU backend
 OPT = os.environ.get("BENCH_OPT", "pgd")  # "pgd" | "adam"
 FLASH_BLOCK = int(os.environ.get("BENCH_FLASH_BLOCK", "0"))
+FUSED_QKV = os.environ.get("BENCH_FUSED_QKV", "0") == "1"
 # encoder layer-loop unroll: 1 = rolled scan (default; measured best —
 # full unroll REGRESSED to 1.22 steps/s, see docs/PERF.md), 0 = fully
 # unrolled, k = partial
@@ -78,6 +79,7 @@ def main() -> int:
         remat_feature_extractor=REMAT_FE, remat_policy=REMAT_POLICY,
         encoder_unroll=UNROLL if UNROLL > 0 else 10**9,
         flash_block=FLASH_BLOCK,
+        fused_qkv=FUSED_QKV,
     )
     params = wav2vec2.init_params(mcfg, example_len=2000)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)

@@ -77,7 +77,11 @@ class Wav2Vec2Config:
     # backward; "save_cheap" saves every per-layer activation EXCEPT the
     # O(T²) attention scores/probs and the 4H FFN hidden (the tensors
     # that actually blow HBM), so backward recompute is only those two
-    # matmuls instead of the full layer.
+    # matmuls instead of the full layer; "no_probs" drops ONLY the O(T²)
+    # attention scores/probs — the single largest residual the encoder
+    # scan stacks per layer — and keeps everything else, so the backward
+    # recompute is just QKᵀ + softmax (a few GFLOP) in exchange for
+    # skipping gigabytes of residual-stacking HBM traffic.
     remat_policy: str = "full"
     # Rematerialize the conv feature extractor in the backward pass.
     # Differentiating w.r.t. the raw waveform (the attack's only grad)
@@ -108,6 +112,13 @@ class Wav2Vec2Config:
     # the Pallas TPU flash-attention kernel — probs never hit HBM, with
     # a custom VJP so ∂loss/∂waveform still flows. TPU only.
     attention_impl: str = "xla"
+    # Fuse the q/k/v projections into ONE (H, 3H) matmul per layer —
+    # larger MXU tiles, one pass over x instead of three. The parameter
+    # tree keeps the separate q_proj/k_proj/v_proj entries (HF layout);
+    # the concat of the (stacked) weights is a few MB per step and hoists
+    # cleanly. The q scale folds into its weight slice, so numerics match
+    # the unfused path to bf16 rounding.
+    fused_qkv: bool = False
     # Pallas flash-attention block size (0 = the kernel's 128 default).
     # At the production seq (~625 → padded 640) larger q/k blocks cut
     # grid/revisit overhead; tune per shape on the real chip.
@@ -124,7 +135,7 @@ class Wav2Vec2Config:
             "conv_impl": ("conv", "pairdot", "im2col", "tapdot"),
             "attention_impl": ("xla", "flash"),
             "feat_extract_norm": ("group", "layer"),
-            "remat_policy": ("full", "save_cheap"),
+            "remat_policy": ("full", "save_cheap", "no_probs"),
         }
         for field_name, allowed in checks.items():
             v = getattr(self, field_name)
@@ -421,6 +432,23 @@ def _softmax_bf16_bwd(probs, g):
 _softmax_bf16.defvjp(_softmax_bf16_fwd, _softmax_bf16_bwd)
 
 
+class _ProjParams(nn.Module):
+    """Declares a Dense layer's params (kernel/bias, same names/layout as
+    ``nn.Dense``) without applying it — used by the fused-QKV path so the
+    checkpoint tree stays HF-convertible."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class SelfAttention(nn.Module):
     cfg: Wav2Vec2Config
 
@@ -432,9 +460,19 @@ class SelfAttention(nn.Module):
         dense = lambda name: nn.Dense(
             H, dtype=cfg.dtype, param_dtype=jnp.float32, name=name
         )
-        q = dense("q_proj")(x) * (hd**-0.5)
-        k = dense("k_proj")(x)
-        v = dense("v_proj")(x)
+        if cfg.fused_qkv:
+            s = hd**-0.5
+            qk, qb = _ProjParams(H, name="q_proj")(H)
+            kk, kb = _ProjParams(H, name="k_proj")(H)
+            vk, vb = _ProjParams(H, name="v_proj")(H)
+            w = jnp.concatenate([qk * s, kk, vk], axis=1).astype(cfg.dtype)
+            b = jnp.concatenate([qb * s, kb, vb]).astype(cfg.dtype)
+            qkv = jnp.dot(x.astype(cfg.dtype), w) + b
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense("q_proj")(x) * (hd**-0.5)
+            k = dense("k_proj")(x)
+            v = dense("v_proj")(x)
 
         def split(t):
             return t.reshape(t.shape[:-1] + (nh, hd))
@@ -553,6 +591,10 @@ class Encoder(nn.Module):
             if cfg.remat_policy == "save_cheap":
                 policy = jax.checkpoint_policies.save_anything_except_these_names(
                     "attn_scores", "attn_probs", "ffn_hidden"
+                )
+            elif cfg.remat_policy == "no_probs":
+                policy = jax.checkpoint_policies.save_anything_except_these_names(
+                    "attn_scores", "attn_probs"
                 )
             layer_cls = nn.remat(EncoderLayer, prevent_cse=False, policy=policy)
         # Stacked layers under scan: one traced layer, params with a

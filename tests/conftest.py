@@ -25,6 +25,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite's cost is dominated by
+# compiling near-identical tiny fwd/bwd programs — cache them across
+# tests AND across pytest invocations (same idiom as paa_tpu.runtime).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "PAA_TEST_CACHE", os.path.expanduser("~/.cache/paa_tpu_xla_tests")
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

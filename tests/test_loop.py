@@ -148,7 +148,7 @@ def test_inspection_beyond_one_batch(tmp_path):
     params = wav2vec2.init_params(mcfg, example_len=4000)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)
     apply_fn = lambda prm, audio: model.apply({"params": prm}, audio)
-    samples = datasets.load_dataset_tuples("synthetic", synthetic_samples=256)
+    samples = datasets.load_dataset_tuples("synthetic", synthetic_samples=320)
     pipe = pipeline_lib.build_pipeline(samples, seed=5)
     assert len(pipe.test) >= 20
     runner = loop.AttackRunner(

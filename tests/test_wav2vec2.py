@@ -172,3 +172,19 @@ def test_encoder_unroll_matches_scan():
         )
         outs.append(np.asarray(jax.jit(m.apply)({"params": params}, audio)))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_fused_qkv_matches_unfused():
+    """fused_qkv packs q/k/v into one (H, 3H) matmul with the q scale
+    folded into its weight slice; same params (HF tree), same logits."""
+    params = wav2vec2.init_params(wav2vec2.get_config("wav2vec2-tiny"), example_len=2000)
+    audio = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 2000)).astype(np.float32) * 0.1
+    )
+    outs = []
+    for fused in (False, True):
+        m = wav2vec2.Wav2Vec2ForCTC(
+            wav2vec2.get_config("wav2vec2-tiny", fused_qkv=fused)
+        )
+        outs.append(np.asarray(jax.jit(m.apply)({"params": params}, audio)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
