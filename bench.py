@@ -33,17 +33,20 @@ B = int(os.environ.get("BENCH_BATCH", "64"))
 T = int(os.environ.get("BENCH_AUDIO_LEN", "160000"))  # 10 s @ 16 kHz
 NORM = os.environ.get("BENCH_NORM", "fletcher_munson")
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
-# Memory strategy at the production batch (16 GB HBM). Measured on one
-# v5e chip: accum=2 microbatches with NO encoder remat (2.59 steps/s)
-# beats monolithic B=64 with encoder-layer remat (2.40) — storing the
-# bf16 attention probs for half the batch is cheaper than recomputing
-# every layer; FE remat stays on (measured free: the conv-stack
-# recompute hides under the backward).
-REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
+# Memory/compute strategy at the production batch (16 GB HBM), measured
+# on one v5e chip (docs/PERF.md): accum=2 microbatches; the whole-head
+# fused Pallas attention kernel (probs never reach HBM); encoder remat
+# with the save_cheap policy (with fused attention it only drops the
+# ffn_hidden residual — recompute is one matmul+gelu per layer, cheaper
+# than stacking 1.2 GB per microbatch); FE remat on (measured free: the
+# conv-stack recompute hides under the backward). Monolithic accum=1
+# still OOMs even under this config.
+REMAT = os.environ.get("BENCH_REMAT", "1") == "1"
 ACCUM = int(os.environ.get("BENCH_ACCUM", "2"))
-ATTN = os.environ.get("BENCH_ATTN", "xla")  # "xla" | "flash"
+# None → "fused" on TPU, "xla" on CPU (the Pallas kernel is TPU-only)
+ATTN = os.environ.get("BENCH_ATTN")
 REMAT_FE = os.environ.get("BENCH_REMAT_FE", "1") == "1"
-REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "full")
+REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "save_cheap")
 PALLAS_FM = os.environ.get("BENCH_PALLAS_FM")  # default: on unless CPU backend
 OPT = os.environ.get("BENCH_OPT", "pgd")  # "pgd" | "adam"
 FLASH_BLOCK = int(os.environ.get("BENCH_FLASH_BLOCK", "0"))
@@ -70,12 +73,13 @@ def main() -> int:
     use_pallas_fm = (
         PALLAS_FM == "1" if PALLAS_FM is not None else jax.default_backend() != "cpu"
     )
+    attn = ATTN or ("fused" if jax.default_backend() != "cpu" else "xla")
     cfg = AttackConfig(
         norm_type=NORM, optimizer_type=OPT, lr=1e-4, remat=REMAT,
         accum_steps=ACCUM, use_pallas_fm=use_pallas_fm,
     )
     mcfg = wav2vec2.get_config(
-        "wav2vec2-base", remat=REMAT, attention_impl=ATTN,
+        "wav2vec2-base", remat=REMAT, attention_impl=attn,
         remat_feature_extractor=REMAT_FE, remat_policy=REMAT_POLICY,
         encoder_unroll=UNROLL if UNROLL > 0 else 10**9,
         flash_block=FLASH_BLOCK,

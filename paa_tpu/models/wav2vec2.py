@@ -109,8 +109,11 @@ class Wav2Vec2Config:
     conv_impl: str = "conv"
     # "xla": dense softmax(QK^T)V (probs materialized — O(T²) HBM per
     # head, what forces encoder remat at production batch). "flash":
-    # the Pallas TPU flash-attention kernel — probs never hit HBM, with
-    # a custom VJP so ∂loss/∂waveform still flows. TPU only.
+    # the stock Pallas TPU flash-attention kernel (multi-block; O(T)
+    # memory). "fused": the short-seq whole-head Pallas kernel
+    # (ops/pallas/attention.py) — the entire softmax(QKᵀ)V and its
+    # backward run VMEM-resident per (batch, head); probs never touch
+    # HBM and only (q, k, v, logsumexp) are saved. TPU only.
     attention_impl: str = "xla"
     # Fuse the q/k/v projections into ONE (H, 3H) matmul per layer —
     # larger MXU tiles, one pass over x instead of three. The parameter
@@ -133,7 +136,7 @@ class Wav2Vec2Config:
     def __post_init__(self):
         checks = {
             "conv_impl": ("conv", "pairdot", "im2col", "tapdot"),
-            "attention_impl": ("xla", "flash"),
+            "attention_impl": ("xla", "flash", "fused"),
             "feat_extract_norm": ("group", "layer"),
             "remat_policy": ("full", "save_cheap", "no_probs"),
         }
@@ -478,7 +481,13 @@ class SelfAttention(nn.Module):
             return t.reshape(t.shape[:-1] + (nh, hd))
 
         q, k, v = split(q), split(k), split(v)
-        if cfg.attention_impl == "flash":
+        if cfg.attention_impl == "fused":
+            from paa_tpu.ops.pallas import attention as fused_attn
+
+            ctx = fused_attn.fused_attention(
+                q.astype(cfg.dtype), k.astype(cfg.dtype), v.astype(cfg.dtype)
+            )
+        elif cfg.attention_impl == "flash":
             ctx = _flash_attention(q, k, v, cfg.dtype, block=cfg.flash_block)
         else:
             # scores stay in compute dtype (bf16): the O(T²) buffer is
