@@ -49,6 +49,7 @@ REMAT_FE = os.environ.get("BENCH_REMAT_FE", "1") == "1"
 REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "save_cheap")
 PALLAS_FM = os.environ.get("BENCH_PALLAS_FM")  # default: on unless CPU backend
 OPT = os.environ.get("BENCH_OPT", "pgd")  # "pgd" | "adam"
+MODEL = os.environ.get("BENCH_MODEL", "wav2vec2-base")
 FLASH_BLOCK = int(os.environ.get("BENCH_FLASH_BLOCK", "0"))
 FUSED_QKV = os.environ.get("BENCH_FUSED_QKV", "0") == "1"
 # encoder layer-loop unroll: 1 = rolled scan (default; measured best —
@@ -79,7 +80,7 @@ def main() -> int:
         accum_steps=ACCUM, use_pallas_fm=use_pallas_fm,
     )
     mcfg = wav2vec2.get_config(
-        "wav2vec2-base", remat=REMAT, attention_impl=attn,
+        MODEL, remat=REMAT, attention_impl=attn,
         remat_feature_extractor=REMAT_FE, remat_policy=REMAT_POLICY,
         encoder_unroll=UNROLL if UNROLL > 0 else 10**9,
         flash_block=FLASH_BLOCK,
@@ -119,7 +120,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": (
-                    f"attack steps/sec/chip (wav2vec2-base, B={B}, {T/16000:.0f}s "
+                    f"attack steps/sec/chip ({MODEL}, B={B}, {T/16000:.0f}s "
                     f"audio, {NORM} {OPT.upper()}, fused fwd+bwd+project)"
                 ),
                 "value": round(steps_per_sec, 3),

@@ -110,12 +110,13 @@ def create_arg_parser() -> argparse.ArgumentParser:
                         help="force a JAX platform (default: auto)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
-    parser.add_argument("--attention_impl", type=str, default="xla",
+    parser.add_argument("--attention_impl", type=str, default=None,
                         choices=["xla", "flash", "fused"],
-                        help="fused = short-seq whole-head Pallas kernel (probs "
-                             "never touch HBM; fastest at <=10s audio, TPU only); "
-                             "flash = stock Pallas flash attention (O(T) memory, "
-                             "for long audio; TPU only)")
+                        help="default: fused on TPU, xla on CPU. fused = short-seq "
+                             "whole-head Pallas kernel (probs never touch HBM; "
+                             "fastest at <=10s audio, TPU only); flash = stock "
+                             "Pallas flash attention (O(T) memory, for long "
+                             "audio; TPU only); xla = dense softmax(QK^T)V")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder layers (less HBM, more FLOPs)")
     parser.add_argument("--accum_steps", type=int, default=1,

@@ -68,11 +68,18 @@ def load_model_bundle(args):
         # which feeds raw waveforms without processor normalization
         # (reference: src/core/loss_helpers.py:21,56)
         overrides["do_normalize"] = False
+    attention_impl = args.attention_impl
+    if attention_impl is None:
+        # the fused whole-head Pallas kernel is the measured-fastest path
+        # on TPU (docs/PERF.md) but is TPU-only; dense XLA elsewhere
+        import jax
+
+        attention_impl = "fused" if jax.default_backend() not in ("cpu",) else "xla"
     mcfg = wav2vec2.get_config(
         args.model,
         compute_dtype=args.compute_dtype,
         remat=args.remat,
-        attention_impl=args.attention_impl,
+        attention_impl=attention_impl,
         **overrides,
     )
     params = None

@@ -25,7 +25,7 @@ def bundle():
     params = wav2vec2.init_params(mcfg, example_len=4000)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)
     apply_fn = lambda prm, audio: model.apply({"params": prm}, audio)
-    samples = datasets.load_dataset_tuples("synthetic", synthetic_samples=64)
+    samples = datasets.load_dataset_tuples("synthetic", synthetic_samples=48)
     pipe = pipeline_lib.build_pipeline(samples, seed=5)
     return apply_fn, params, pipe
 
