@@ -37,8 +37,9 @@ def capture(trace_dir: str) -> None:
         remat=bench.REMAT, accum_steps=bench.ACCUM,
         use_pallas_fm=jax.default_backend() != "cpu",
     )
+    attn = bench.ATTN or ("fused" if jax.default_backend() != "cpu" else "xla")
     mcfg = wav2vec2.get_config(
-        "wav2vec2-base", remat=bench.REMAT, attention_impl=bench.ATTN,
+        bench.MODEL, remat=bench.REMAT, attention_impl=attn,
         remat_feature_extractor=bench.REMAT_FE, remat_policy=bench.REMAT_POLICY,
         encoder_unroll=bench.UNROLL if bench.UNROLL > 0 else 10**9,
         flash_block=bench.FLASH_BLOCK,
