@@ -51,6 +51,7 @@ PALLAS_FM = os.environ.get("BENCH_PALLAS_FM")  # default: on unless CPU backend
 OPT = os.environ.get("BENCH_OPT", "pgd")  # "pgd" | "adam"
 MODEL = os.environ.get("BENCH_MODEL", "wav2vec2-base")
 FLASH_BLOCK = int(os.environ.get("BENCH_FLASH_BLOCK", "0"))
+REMAT_FFN = os.environ.get("BENCH_REMAT_FFN", "0") == "1"
 FUSED_QKV = os.environ.get("BENCH_FUSED_QKV", "0") == "1"
 # encoder layer-loop unroll: 1 = rolled scan (default; measured best —
 # full unroll REGRESSED to 1.22 steps/s, see docs/PERF.md), 0 = fully
@@ -85,6 +86,7 @@ def main() -> int:
         encoder_unroll=UNROLL if UNROLL > 0 else 10**9,
         flash_block=FLASH_BLOCK,
         fused_qkv=FUSED_QKV,
+        remat_ffn=REMAT_FFN,
     )
     params = wav2vec2.init_params(mcfg, example_len=2000)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)

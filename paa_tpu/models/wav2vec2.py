@@ -32,6 +32,7 @@ against the torch implementation.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -74,14 +75,16 @@ class Wav2Vec2Config:
     compute_dtype: str = "bfloat16"
     remat: bool = False
     # With remat on: "full" recomputes the whole encoder layer in
-    # backward; "save_cheap" saves every per-layer activation EXCEPT the
-    # O(T²) attention scores/probs and the 4H FFN hidden (the tensors
-    # that actually blow HBM), so backward recompute is only those two
-    # matmuls instead of the full layer; "no_probs" drops ONLY the O(T²)
-    # attention scores/probs — the single largest residual the encoder
-    # scan stacks per layer — and keeps everything else, so the backward
-    # recompute is just QKᵀ + softmax (a few GFLOP) in exchange for
-    # skipping gigabytes of residual-stacking HBM traffic.
+    # backward; "save_cheap" saves per-layer activations except those
+    # funneled through lean-residual custom VJPs (_layernorm, _gelu,
+    # _ffn) — NOTE a blacklist checkpoint_name alone cannot drop a
+    # value: partial eval saves the unnamed producer one op upstream of
+    # the name barrier, so the big-buffer control lives in the custom
+    # VJPs, not the name list; "no_probs" blacklists only the O(T²)
+    # attention scores/probs (moot under attention_impl="fused", where
+    # they never exist); "save_resid" whitelists (attn_qkv, attn_lse,
+    # attn_out) and recomputes everything else — measured SLOWER than
+    # save_cheap at production shape (docs/PERF.md).
     remat_policy: str = "full"
     # Rematerialize the conv feature extractor in the backward pass.
     # Differentiating w.r.t. the raw waveform (the attack's only grad)
@@ -122,6 +125,12 @@ class Wav2Vec2Config:
     # cleanly. The q scale folds into its weight slice, so numerics match
     # the unfused path to bf16 rounding.
     fused_qkv: bool = False
+    # Inner-remat the FFN hidden: (intermediate_dense + gelu) recompute
+    # in backward from the layer input instead of stacking a
+    # (L, B, T, 4H) residual across the encoder scan (1.18 GB bf16 per
+    # microbatch at production shape). One extra (H, 4H) matmul per
+    # layer in backward; independent of remat_policy (see FeedForward).
+    remat_ffn: bool = False
     # Pallas flash-attention block size (0 = the kernel's 128 default).
     # At the production seq (~625 → padded 640) larger q/k blocks cut
     # grid/revisit overhead; tune per shape on the real chip.
@@ -138,7 +147,7 @@ class Wav2Vec2Config:
             "conv_impl": ("conv", "pairdot", "im2col", "tapdot"),
             "attention_impl": ("xla", "flash", "fused"),
             "feat_extract_norm": ("group", "layer"),
-            "remat_policy": ("full", "save_cheap", "no_probs"),
+            "remat_policy": ("full", "save_cheap", "no_probs", "save_resid"),
         }
         for field_name, allowed in checks.items():
             v = getattr(self, field_name)
@@ -481,6 +490,13 @@ class SelfAttention(nn.Module):
             return t.reshape(t.shape[:-1] + (nh, hd))
 
         q, k, v = split(q), split(k), split(v)
+        if cfg.attention_impl == "xla":
+            # The fused path names its (padded, transposed) kernel inputs
+            # inside fused_attention; the dense path names them here so
+            # the "save_resid" whitelist policy covers both.
+            q = checkpoint_name(q, "attn_qkv")
+            k = checkpoint_name(k, "attn_qkv")
+            v = checkpoint_name(v, "attn_qkv")
         if cfg.attention_impl == "fused":
             from paa_tpu.ops.pallas import attention as fused_attn
 
@@ -508,7 +524,7 @@ class SelfAttention(nn.Module):
                 "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
             )
         ctx = ctx.astype(cfg.dtype).reshape(x.shape)
-        return dense("out_proj")(ctx)
+        return checkpoint_name(dense("out_proj")(ctx), "attn_out")
 
 
 def _flash_attention(q, k, v, dtype, block: int = 0) -> jnp.ndarray:
@@ -542,23 +558,168 @@ def _flash_attention(q, k, v, dtype, block: int = 0) -> jnp.ndarray:
     return jnp.transpose(out[:, :, :T, :], (0, 2, 1, 3))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layernorm(x, gamma, beta, eps):
+    """f32 LayerNorm whose backward residuals are (x̂ bf16, rstd) ONLY.
+
+    Stock autodiff of the f32 flax LayerNorm keeps ~3 full-width f32
+    copies per call (centered, normalized, scaled) as residuals; under
+    the encoder layer scan those stack to six f32[L, B, T, H] buffers
+    ≈ 3.5 GB per microbatch at the production shape — the single
+    largest HBM cost in the profiled step. The classic LN input-grad
+    needs only x̂ and rstd:
+        dx = rstd · (dy·γ − mean(dy·γ) − x̂ · mean(dy·γ · x̂))
+    Forward is exact f32, fast-variance like flax. Shapes follow flax
+    broadcasting: gamma / beta are (..., H) reduced over the leading
+    axes for their grads.
+    """
+    out, _ = _layernorm_fwd(x, gamma, beta, eps)
+    return out
+
+
+def _layernorm_fwd(x, gamma, beta, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    # fast variance (flax default): E[x²] − E[x]²
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    out = xhat * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    # zero-size token carries the primal input dtype: the cotangent we
+    # return for x must match it (bf16 under the encoder's compute dtype)
+    # x̂ is stored in the layer's compute dtype (the input's): exact f32
+    # for f32 models; bf16 under the production bf16 encoder, where the
+    # rounding is backward-only and below the noise of the bf16 matmuls
+    # that produced x (halves the largest remaining residual stack).
+    return out, (xhat.astype(x.dtype), rstd, gamma, jnp.zeros((0,), x.dtype))
+
+
+def _layernorm_bwd(eps, res, g):
+    xhat_b, rstd, gamma, x_tok = res
+    xhat = xhat_b.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    dxhat = gf * gamma.astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (rstd * (dxhat - m1 - xhat * m2)).astype(x_tok.dtype)
+    reduce_axes = tuple(range(g.ndim - 1))
+    dgamma = jnp.sum(gf * xhat, axis=reduce_axes).astype(gamma.dtype)
+    dbeta = jnp.sum(gf, axis=reduce_axes).astype(gamma.dtype)
+    return dx, dgamma, dbeta
+
+
+_layernorm.defvjp(_layernorm_fwd, _layernorm_bwd)
+
+
+class _LayerNorm(nn.Module):
+    """Drop-in for ``nn.LayerNorm(dtype=f32)`` with lean backward
+    residuals (see ``_layernorm``). Param names/shapes match flax's
+    ("scale", "bias"), so checkpoints stay HF-convertible."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        H = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (H,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (H,), jnp.float32)
+        return _layernorm(x, scale, bias, self.epsilon)
+
+
+@jax.custom_vjp
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """gelu(approximate=False) whose ONLY backward residual is its input.
+
+    Stock autodiff of erf-gelu leaves several unnamed (B, T, intermediate)
+    chain-rule values in the residual set; blacklist remat policies
+    (``save_cheap``) then stack them across the layer scan — profiled at
+    2× bf16[12,32,499,3072] ≈ 2.4 GB per microbatch at the production
+    shape. Funneling the backward through a custom VJP makes the input
+    (named "ffn_hidden", so dropped and recomputed with one matmul) the
+    single residual; the derivative is replayed from it bit-identically.
+    """
+    return nn.gelu(x, approximate=False)
+
+
+def _gelu_fwd(x):
+    return _gelu(x), (x,)
+
+
+def _gelu_bwd(res, g):
+    (x,) = res
+    _, vjp = jax.vjp(lambda t: nn.gelu(t, approximate=False), x)
+    return vjp(g)
+
+
+_gelu.defvjp(_gelu_fwd, _gelu_bwd)
+
+
+@jax.custom_vjp
+def _ffn(y, ik, ib, ok, ob):
+    """gelu MLP whose backward residuals are (y, weights) — the
+    (B, T, 4H) hidden is recomputed with one matmul in the backward.
+
+    A remat policy cannot drop the hidden: whatever barrier is placed,
+    partial eval saves a saveable value one op upstream (measured: the
+    bf16[L, B, T, 4H] stack persisted through checkpoint_name AND a
+    nested jax.checkpoint). custom_vjp internals are opaque to partial
+    eval, so this is the only construction that actually removes the
+    stack (1.18 GB per microbatch at production shape). The unused
+    weight/bias grads below are DCE'd by XLA when params are frozen
+    (the attack differentiates w.r.t. the waveform only).
+    """
+    out, _ = _ffn_fwd(y, ik, ib, ok, ob)
+    return out
+
+
+def _ffn_fwd(y, ik, ib, ok, ob):
+    h = jnp.dot(y, ik) + ib
+    out = jnp.dot(nn.gelu(h, approximate=False), ok) + ob
+    return out, (y, ik, ib, ok)
+
+
+def _ffn_bwd(res, g):
+    y, ik, ib, ok = res
+    h = jnp.dot(y, ik) + ib
+    a, gelu_vjp = jax.vjp(lambda t: nn.gelu(t, approximate=False), h)
+    da = jnp.dot(g, ok.T)
+    (dh,) = gelu_vjp(da)
+    dy = jnp.dot(dh, ik.T)
+    dik = jnp.einsum("...i,...j->ij", y, dh)
+    dib = jnp.sum(dh, axis=tuple(range(dh.ndim - 1)))
+    dok = jnp.einsum("...i,...j->ij", a, g)
+    dob = jnp.sum(g, axis=tuple(range(g.ndim - 1)))
+    return dy, dik, dib, dok, dob
+
+
+_ffn.defvjp(_ffn_fwd, _ffn_bwd)
+
+
 class FeedForward(nn.Module):
+    """dense → gelu → dense via ``_ffn`` (lean-residual custom VJP) when
+    ``remat_ffn`` is on. Params are declared via ``_ProjParams`` under
+    the same names ``nn.Dense`` would use, so the checkpoint tree stays
+    HF-convertible (reference weight layout: src/training_utils/
+    build.py:225-231).
+    """
+
     cfg: Wav2Vec2Config
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
-        x = nn.Dense(
-            cfg.intermediate_size,
-            dtype=cfg.dtype,
-            param_dtype=jnp.float32,
-            name="intermediate_dense",
-        )(x)
-        x = checkpoint_name(x, "ffn_hidden")
-        x = checkpoint_name(nn.gelu(x, approximate=False), "ffn_hidden")
-        return nn.Dense(
-            cfg.hidden_size, dtype=cfg.dtype, param_dtype=jnp.float32, name="output_dense"
-        )(x)
+        H = x.shape[-1]
+        ik, ib = _ProjParams(cfg.intermediate_size, name="intermediate_dense")(H)
+        ok, ob = _ProjParams(cfg.hidden_size, name="output_dense")(
+            cfg.intermediate_size
+        )
+        d = cfg.dtype
+        y = x.astype(d)
+        if cfg.remat_ffn:
+            return _ffn(y, ik.astype(d), ib.astype(d), ok.astype(d), ob.astype(d))
+        h = jnp.dot(y, ik.astype(d)) + ib.astype(d)
+        h = _gelu(checkpoint_name(h, "ffn_hidden"))
+        return jnp.dot(h, ok.astype(d)) + ob.astype(d)
 
 
 class EncoderLayer(nn.Module):
@@ -569,9 +730,10 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
         cfg = self.cfg
-        ln = lambda name: nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name=name
-        )
+        # _LayerNorm (custom VJP) rather than nn.LayerNorm: under the
+        # layer scan, stock LN autodiff stacks ~3 f32 (L, B, T, H)
+        # residuals per call; this saves (x̂ bf16, rstd) instead.
+        ln = lambda name: _LayerNorm(epsilon=cfg.layer_norm_eps, name=name)
         if cfg.do_stable_layer_norm:  # pre-LN (large-lv60)
             x = x + SelfAttention(cfg, name="attention")(ln("layer_norm")(x))
             x = x + FeedForward(cfg, name="feed_forward")(ln("final_layer_norm")(x))
@@ -600,6 +762,22 @@ class Encoder(nn.Module):
             if cfg.remat_policy == "save_cheap":
                 policy = jax.checkpoint_policies.save_anything_except_these_names(
                     "attn_scores", "attn_probs", "ffn_hidden"
+                )
+            elif cfg.remat_policy == "save_resid":
+                # Whitelist: save exactly what the backward NEEDS and
+                # nothing else. The model runs frozen (grads flow only to
+                # the input waveform), so matmul backwards never need
+                # their input activations — only the attention kernel
+                # (q, k, v, lse) and the gelu/LayerNorm nonlinearities
+                # need residuals, and the latter are recomputed from the
+                # layer carry + attn_out with one matmul per layer.
+                # The blacklist "save_cheap" policy misses this: it
+                # saves every UNNAMED neighbor (gelu's internal
+                # (B, T, 3072) intermediates, softmax internals), which
+                # profiled at ~2.4 GB of stacked residuals per
+                # microbatch at the production shape.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_qkv", "attn_lse", "attn_out"
                 )
             elif cfg.remat_policy == "no_probs":
                 policy = jax.checkpoint_policies.save_anything_except_these_names(

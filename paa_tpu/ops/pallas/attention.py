@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 
 _NEG_INF = -1e30
@@ -114,7 +115,11 @@ def _attend_fwd(q, k, v, T_real: int, interpret: bool):
         ),
         interpret=interpret,
     )(q, k, v)
-    return o, (q, k, v, lse)
+    # The lse row is the only backward residual the kernel adds beyond
+    # its inputs; naming it lets whitelist remat policies (models/
+    # wav2vec2.py "save_resid") keep it instead of re-running the
+    # forward kernel inside the backward pass.
+    return o, (q, k, v, checkpoint_name(lse, "attn_lse"))
 
 
 def _attend_bwd(T_real: int, interpret: bool, res, do):
@@ -144,6 +149,8 @@ def fused_attention(q, k, v, *, interpret: bool = False) -> jnp.ndarray:
     B, T, H, d = q.shape
     Tp = max(128, -(-T // 128) * 128)
     pad = [(0, 0), (0, Tp - T), (0, 0), (0, 0)]
-    to_bhtd = lambda t: jnp.transpose(jnp.pad(t, pad), (0, 2, 1, 3))
+    to_bhtd = lambda t: checkpoint_name(
+        jnp.transpose(jnp.pad(t, pad), (0, 2, 1, 3)), "attn_qkv"
+    )
     o = _attend(to_bhtd(q), to_bhtd(k), to_bhtd(v), T, interpret)
     return jnp.transpose(o[:, :, :T, :], (0, 2, 1, 3))
