@@ -48,3 +48,37 @@ def test_fused_attention_grads_match_dense(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-5, err_msg=name
         )
+
+
+def test_fused_attention_head_chunking_matches(rng):
+    """G>1 (head-chunked grid) matches the single-chunk path, values and
+    grads — covers the (B, G, Hc, Tp) lse layout the TPU build uses
+    (interpret mode otherwise always picks G=1)."""
+    B, T, H, d = 2, 130, 4, 16
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, d)).astype(np.float32) * 0.5)
+        for _ in range(3)
+    )
+    Tp = 256
+    flat = lambda t: t.reshape(B, T, H * d)
+
+    def run(G):
+        def f(q, k, v):
+            o = fused._attend(flat(q), flat(k), flat(v), H, G, Tp, True)
+            return o.reshape(B, T, H, d)
+        val = f(q, k, v)
+        ct = jnp.asarray(
+            np.random.default_rng(3).standard_normal((B, T, H, d)), jnp.float32
+        )
+        grads = jax.grad(
+            lambda a, b, c: jnp.sum(f(a, b, c) * ct), argnums=(0, 1, 2)
+        )(q, k, v)
+        return val, grads
+
+    v1, g1 = run(1)
+    v2, g2 = run(2)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=2e-5, atol=2e-5)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-5, err_msg=name
+        )
