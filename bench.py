@@ -34,15 +34,14 @@ T = int(os.environ.get("BENCH_AUDIO_LEN", "160000"))  # 10 s @ 16 kHz
 NORM = os.environ.get("BENCH_NORM", "fletcher_munson")
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 # Memory/compute strategy at the production batch (16 GB HBM), measured
-# on one v5e chip (docs/PERF.md): accum=2 microbatches; the whole-head
-# fused Pallas attention kernel (probs never reach HBM); encoder remat
-# with the save_cheap policy (with fused attention it only drops the
-# ffn_hidden residual — recompute is one matmul+gelu per layer, cheaper
-# than stacking 1.2 GB per microbatch); FE remat on (measured free: the
-# conv-stack recompute hides under the backward). Monolithic accum=1
-# still OOMs even under this config.
+# on one v5e chip (docs/PERF.md): monolithic accum=1 — the lean-residual
+# custom VJPs (gelu/LayerNorm) plus the transpose-free fused attention
+# kernel freed enough HBM that the full B=64 step fits (4.08 steps/s vs
+# 3.99 at accum=2); encoder remat with save_cheap; FE remat on (measured
+# free: the conv-stack recompute hides under the backward). lv60 needs
+# BENCH_ACCUM>=2.
 REMAT = os.environ.get("BENCH_REMAT", "1") == "1"
-ACCUM = int(os.environ.get("BENCH_ACCUM", "2"))
+ACCUM = int(os.environ.get("BENCH_ACCUM", "1"))
 # None → "fused" on TPU, "xla" on CPU (the Pallas kernel is TPU-only)
 ATTN = os.environ.get("BENCH_ATTN")
 REMAT_FE = os.environ.get("BENCH_REMAT_FE", "1") == "1"
