@@ -356,9 +356,7 @@ class FeatureProjection(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.LayerNorm(
-            epsilon=self.cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm"
-        )(x)
+        x = _LayerNorm(epsilon=self.cfg.layer_norm_eps, name="layer_norm")(x)
         return nn.Dense(
             self.cfg.hidden_size,
             dtype=self.cfg.dtype,
@@ -623,7 +621,11 @@ class _LayerNorm(nn.Module):
         H = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (H,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (H,), jnp.float32)
-        return _layernorm(x, scale, bias, self.epsilon)
+        # stats/normalize in exact f32; the OUTPUT returns to the input's
+        # dtype so the residual stream stays uniformly in the compute
+        # dtype — f32 LN outputs otherwise ripple f32 copies of the
+        # (B, T, H) stream through every layer's adds and matmul fusions
+        return _layernorm(x, scale, bias, self.epsilon).astype(x.dtype)
 
 
 @jax.custom_vjp
@@ -751,9 +753,7 @@ class Encoder(nn.Module):
         cfg = self.cfg
         x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
         if not cfg.do_stable_layer_norm:
-            x = nn.LayerNorm(
-                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm"
-            )(x)
+            x = _LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
         x = x.astype(cfg.dtype)
 
         layer_cls = EncoderLayer
@@ -797,9 +797,7 @@ class Encoder(nn.Module):
         x, _ = stack(x, None)
 
         if cfg.do_stable_layer_norm:
-            x = nn.LayerNorm(
-                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm"
-            )(x)
+            x = _LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
         return x
 
 
