@@ -88,10 +88,12 @@ def _fwd_kernel(T_real: int, Hc: int, q_ref, k_ref, v_ref, o_ref, lse_ref):
     kmask = jax.lax.broadcasted_iota(jnp.int32, (1, Tp), 1) < T_real
     for h in range(Hc):
         sl = slice(h * d, (h + 1) * d)
+        # dot inputs stay in the INPUT dtype (bf16 in production — an
+        # f32 MXU matmul costs ~3 bf16 passes), accumulation in f32
         s = jax.lax.dot_general(
-            q[:, sl].astype(jnp.float32), k[:, sl].astype(jnp.float32),
+            q[:, sl], k[:, sl],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )  # (Tp, Tp)
+        )  # (Tp, Tp) f32
         s = jnp.where(kmask, s, _NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
@@ -115,23 +117,28 @@ def _bwd_kernel(T_real: int, Hc: int, q_ref, k_ref, v_ref, lse_ref, do_ref,
     kmask = jax.lax.broadcasted_iota(jnp.int32, (1, Tp), 1) < T_real
     for h in range(Hc):
         sl = slice(h * d, (h + 1) * d)
-        qh = q[:, sl].astype(jnp.float32)
-        kh = k[:, sl].astype(jnp.float32)
-        vh = v[:, sl].astype(jnp.float32)
-        doh = do[:, sl].astype(jnp.float32)
+        qh = q[:, sl]
+        kh = k[:, sl]
+        vh = v[:, sl]
+        doh = do[:, sl]
         lse = lse_ref[0, 0, h, :]  # (Tp,)
+        # dot inputs stay in the INPUT dtype, f32 accumulation (the
+        # probability/score factors below are rounded back to that dtype
+        # for the grad dots — the same placement as the XLA path's
+        # bf16-resident softmax VJP)
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = jnp.where(kmask, s, _NEG_INF)
         # padded QUERY rows hold an undefined lse: zero their
         # probabilities so dk/dv (which sum over query rows) are exact
-        p = jnp.where(rmask, jnp.exp(s - lse[:, None]), 0.0)  # (Tp, Tp)
+        p = jnp.where(rmask, jnp.exp(s - lse[:, None]), 0.0)  # (Tp, Tp) f32
         dp = jax.lax.dot_general(
             doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         D = jnp.sum(p * dp, axis=1, keepdims=True)
-        ds = p * (dp - D)
+        ds = (p * (dp - D)).astype(q.dtype)
+        pc = p.astype(q.dtype)
         dq_ref[0, :, sl] = jax.lax.dot_general(
             ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(dq_ref.dtype)
@@ -139,7 +146,7 @@ def _bwd_kernel(T_real: int, Hc: int, q_ref, k_ref, v_ref, lse_ref, do_ref,
             ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(dk_ref.dtype)
         dv_ref[0, :, sl] = jax.lax.dot_general(
-            p, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pc, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(dv_ref.dtype)
 
 
