@@ -45,6 +45,7 @@ ACCUM = int(os.environ.get("BENCH_ACCUM", "1"))
 # None → "fused" on TPU, "xla" on CPU (the Pallas kernel is TPU-only)
 ATTN = os.environ.get("BENCH_ATTN")
 REMAT_FE = os.environ.get("BENCH_REMAT_FE", "1") == "1"
+FE_SAVE = int(os.environ.get("BENCH_FE_SAVE_LAYERS", "0"))
 REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "save_cheap")
 PALLAS_FM = os.environ.get("BENCH_PALLAS_FM")  # default: on unless CPU backend
 OPT = os.environ.get("BENCH_OPT", "pgd")  # "pgd" | "adam"
@@ -82,6 +83,7 @@ def main() -> int:
     mcfg = wav2vec2.get_config(
         MODEL, remat=REMAT, attention_impl=attn,
         remat_feature_extractor=REMAT_FE, remat_policy=REMAT_POLICY,
+        remat_fe_save_layers=FE_SAVE,
         encoder_unroll=UNROLL if UNROLL > 0 else 10**9,
         flash_block=FLASH_BLOCK,
         fused_qkv=FUSED_QKV,

@@ -94,6 +94,12 @@ class Wav2Vec2Config:
     # model FLOPs, so recomputing it once is cheap; forward-only calls
     # are unaffected (remat has no effect without a backward pass).
     remat_feature_extractor: bool = True
+    # With FE remat on: save the (bf16, post-gelu) OUTPUTS of the first
+    # k conv layers across the remat boundary, so the backward replay
+    # starts from layer k instead of re-running the most expensive early
+    # convs (layer 0 output alone is (B, 31999, 512) ≈ 1 GB bf16 at
+    # B=64). 0 = classic full remat (only the waveform is saved).
+    remat_fe_save_layers: int = 0
     # Conv lowering for the feature extractor. All impls share one
     # (k, C_in, C_out) WIO param tensor, so checkpoints are portable.
     # "conv": lax.conv_general_dilated — XLA's native TPU conv path;
@@ -307,7 +313,10 @@ class ConvLayer(nn.Module):
         elif cfg.feat_extract_norm == "layer":
             x = _FeNorm(axis=-1, eps=cfg.layer_norm_eps, out_dtype=cfg.dtype,
                         name="layer_norm")(x)
-        return nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=False)
+        if self.layer_id < cfg.remat_fe_save_layers:
+            x = checkpoint_name(x, "fe_out")
+        return x
 
 
 class _FeNorm(nn.Module):
@@ -829,7 +838,12 @@ class Wav2Vec2ForCTC(nn.Module):
             audio = (audio - mu) * jax.lax.rsqrt(var + 1e-7)
         fe_cls = FeatureExtractor
         if self.cfg.remat_feature_extractor:
-            fe_cls = nn.remat(FeatureExtractor, prevent_cse=False)
+            policy = None
+            if self.cfg.remat_fe_save_layers > 0:
+                # whitelist: early conv outputs become residuals, the
+                # backward replay starts from the last saved layer
+                policy = jax.checkpoint_policies.save_only_these_names("fe_out")
+            fe_cls = nn.remat(FeatureExtractor, prevent_cse=False, policy=policy)
         x = fe_cls(self.cfg, name="feature_extractor")(audio)
         x = FeatureProjection(self.cfg, name="feature_projection")(x)
         x = Encoder(self.cfg, name="encoder")(x)
