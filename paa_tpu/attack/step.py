@@ -105,6 +105,29 @@ def _grad_and_metrics(
     return loss, ids.reshape((B,) + ids.shape[2:]), grad
 
 
+def _train_update(cfg, apply_fn, tables, params, p, opt_state, audio,
+                  labels, label_paddings, weights, cparams, lr):
+    """One attack update: grad wrt p -> optimizer -> projection. The single
+    body behind every train-step variant (plain / sharded / sweep cell)."""
+    loss, greedy, grad = _grad_and_metrics(
+        p, audio, labels, label_paddings, weights, apply_fn, params, cfg
+    )
+    new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
+    new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
+    return new_p, new_opt_state, StepMetrics(ctc_loss=loss, greedy_ids=greedy)
+
+
+def _eval_metrics(apply_fn, params, p, audio, labels, label_paddings, weights):
+    """Eval body shared by every eval-step variant: loss + greedy ids with
+    ``p`` added but NOT clamped — preserving the reference's train/eval
+    asymmetry (reference: src/training_utils/evaluation.py:15-16)."""
+    logits = apply_fn(params, audio + p)
+    per_example = ctc.ctc_loss(logits, labels, label_paddings, reduction="none")
+    return StepMetrics(
+        ctc_loss=jnp.sum(per_example * weights), greedy_ids=ctc.greedy_ids(logits)
+    )
+
+
 def make_train_step(
     cfg: AttackConfig,
     apply_fn: Callable,
@@ -122,13 +145,8 @@ def make_train_step(
     """
 
     def train_step(params, p, opt_state, audio, labels, label_paddings, weights, cparams, lr):
-        loss, greedy, grad = _grad_and_metrics(
-            p, audio, labels, label_paddings, weights, apply_fn, params, cfg
-        )
-        new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
-        new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
-        metrics = StepMetrics(ctc_loss=loss, greedy_ids=greedy)
-        return new_p, new_opt_state, metrics
+        return _train_update(cfg, apply_fn, tables, params, p, opt_state,
+                             audio, labels, label_paddings, weights, cparams, lr)
 
     return jax.jit(train_step, donate_argnums=(1, 2))
 
@@ -141,10 +159,7 @@ def make_eval_step(cfg: AttackConfig, apply_fn: Callable) -> Callable:
     """
 
     def eval_step(params, p, audio, labels, label_paddings, weights):
-        logits = apply_fn(params, audio + p)
-        per_example = ctc.ctc_loss(logits, labels, label_paddings, reduction="none")
-        loss = jnp.sum(per_example * weights)
-        return StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
+        return _eval_metrics(apply_fn, params, p, audio, labels, label_paddings, weights)
 
     return jax.jit(eval_step)
 
@@ -165,10 +180,7 @@ def make_sharded_eval_step(cfg: AttackConfig, apply_fn: Callable, mesh: Mesh) ->
     batch_sh = NamedSharding(mesh, P("data"))
 
     def eval_step(params, p, audio, labels, label_paddings, weights):
-        logits = apply_fn(params, audio + p)
-        per_example = ctc.ctc_loss(logits, labels, label_paddings, reduction="none")
-        loss = jnp.sum(per_example * weights)
-        return StepMetrics(ctc_loss=loss, greedy_ids=ctc.greedy_ids(logits))
+        return _eval_metrics(apply_fn, params, p, audio, labels, label_paddings, weights)
 
     return jax.jit(
         eval_step,
@@ -195,13 +207,8 @@ def make_sharded_step(
     batch_sh = NamedSharding(mesh, P("data"))
 
     def train_step(params, p, opt_state, audio, labels, label_paddings, weights, cparams, lr):
-        loss, greedy, grad = _grad_and_metrics(
-            p, audio, labels, label_paddings, weights, apply_fn, params, cfg
-        )
-        new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
-        new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
-        metrics = StepMetrics(ctc_loss=loss, greedy_ids=greedy)
-        return new_p, new_opt_state, metrics
+        return _train_update(cfg, apply_fn, tables, params, p, opt_state,
+                             audio, labels, label_paddings, weights, cparams, lr)
 
     return jax.jit(
         train_step,
@@ -239,15 +246,13 @@ def make_sweep_step(
     audio_sh = NamedSharding(mesh, P("data"))
 
     def one_cell(params, p, opt_state, cparams, active, audio, labels, label_paddings, weights, lr):
-        loss, greedy, grad = _grad_and_metrics(
-            p, audio, labels, label_paddings, weights, apply_fn, params, cfg
+        new_p, new_opt_state, metrics = _train_update(
+            cfg, apply_fn, tables, params, p, opt_state,
+            audio, labels, label_paddings, weights, cparams, lr,
         )
-        new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
-        new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
         keep = lambda new, old: jnp.where(active > 0.5, new, old)
         new_p = keep(new_p, p)
         new_opt_state = jax.tree.map(keep, new_opt_state, opt_state)
-        metrics = StepMetrics(ctc_loss=loss, greedy_ids=greedy)
         return new_p, new_opt_state, metrics
 
     def sweep_step(params, p_s, opt_state_s, audio, labels, label_paddings, weights, cparams_s, active_s, lr):
@@ -281,11 +286,7 @@ def make_sweep_eval_step(
     audio_sh = NamedSharding(mesh, P("data"))
 
     def one_cell(params, p, audio, labels, label_paddings, weights):
-        logits = apply_fn(params, audio + p)
-        per_example = ctc.ctc_loss(logits, labels, label_paddings, reduction="none")
-        return StepMetrics(
-            ctc_loss=jnp.sum(per_example * weights), greedy_ids=ctc.greedy_ids(logits)
-        )
+        return _eval_metrics(apply_fn, params, p, audio, labels, label_paddings, weights)
 
     def sweep_eval(params, p_s, audio, labels, label_paddings, weights):
         return jax.vmap(

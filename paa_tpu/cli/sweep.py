@@ -83,16 +83,12 @@ def _cell_dir(root: str, args, cfg, norm_type: str, size: float) -> str:
 
 
 def _sweep_wer(ids_s: np.ndarray, mask: np.ndarray, refs: list[str]) -> np.ndarray:
-    """Per-cell WER for one batch: ids_s is (S, B, frames)."""
-    from paa_tpu.ops import text as text_ops, wer as wer_ops
+    """Per-cell WER for one batch: ids_s is (S, B, frames). Decoding and
+    normalization delegate to the single-run loop's helper so the two
+    paths cannot drift."""
+    from paa_tpu.train.loop import _batch_wer
 
-    S = ids_s.shape[0]
-    out = np.empty((S,), np.float64)
-    lowered_refs = [r.lower() for r in refs]
-    for i in range(S):
-        preds = [t.lower() for t in text_ops.decode_batch(ids_s[i][mask])]
-        out[i] = wer_ops.wer(preds, lowered_refs)
-    return out
+    return np.asarray([_batch_wer(ids[mask], refs) for ids in ids_s], np.float64)
 
 
 def run_sweep(args) -> dict:
@@ -147,7 +143,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
     from paa_tpu.cli.parser import config_from_args, constraint_params_from_args
     from paa_tpu.config import with_sweep_value
     from paa_tpu.data import pipeline as pipeline_lib
-    from paa_tpu.ops import projections, psycho, text as text_ops, wer as wer_ops
+    from paa_tpu.ops import projections, psycho
     from paa_tpu.parallel import mesh as mesh_lib
     from paa_tpu.train import artifacts, checkpoint, scoring
 
@@ -205,6 +201,10 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
     best_p_s = np.array(p_s)  # writable copy (np.asarray of a jax array is read-only)
     best_epoch_s = np.full((S,), -1, np.int64)
     no_improve_s = np.zeros((S,), np.int64)
+    # epochs recorded while the cell was still TRAINING — a stopped
+    # cell's frozen-p epochs must not enter its history aggregates (the
+    # equivalent single run stops recording at its stop epoch)
+    hist_len_s = np.zeros((S,), np.int64)
     start_epoch = 0
     clean_eval = None  # (ctc, wer) — constant across epochs and cells
 
@@ -214,6 +214,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         "p_s": p_s, "opt_s": opt_s, "epoch": 0,
         "best_score_s": best_score_s, "best_p_s": best_p_s,
         "best_epoch_s": best_epoch_s, "no_improve_s": no_improve_s,
+        "hist_len_s": hist_len_s,
         "history": {k: np.zeros((0, S), np.float64) for k in history_keys},
         "clean_eval": np.zeros((2,), np.float64),
     }
@@ -226,6 +227,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         best_p_s = np.array(state["best_p_s"])
         best_epoch_s = np.array(state["best_epoch_s"])
         no_improve_s = np.array(state["no_improve_s"])
+        hist_len_s = np.array(state["hist_len_s"])
         history = {k: list(np.asarray(state["history"][k])) for k in history_keys}
         ce = np.asarray(state["clean_eval"])
         clean_eval = (float(ce[0]), float(ce[1])) if np.isfinite(ce[0]) else None
@@ -268,11 +270,12 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         for batch in pipeline_lib.prefetch_to_device(split.batches(cfg.batch_size)):
             labels, pads = _labels_for(batch)
             m = eval_step(params, zero, batch.audio, labels, pads, batch.weights)
+            from paa_tpu.train.loop import _batch_wer
+
             w = np.asarray(batch.weights) > 0
             ctc_scores.append(float(m.ctc_loss))
-            refs = [split.texts[i].lower() for i in np.asarray(batch.indices)[w]]
-            preds = [t.lower() for t in text_ops.decode_batch(np.asarray(m.greedy_ids)[w])]
-            wer_scores.append(wer_ops.wer(preds, refs))
+            refs = [split.texts[i] for i in np.asarray(batch.indices)[w]]
+            wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], refs))
         n = max(len(ctc_scores), 1)
         return sum(ctc_scores) / n, sum(wer_scores) / n
 
@@ -318,6 +321,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         history["eval_clean_wer"].append(np.full((S,), clean_eval[1]))
         history["eval_pert_ctc"].append(pert_ctc)
         history["eval_pert_wer"].append(pert_wer)
+        hist_len_s[np.asarray(active) > 0] += 1
         log.info(
             "[sweep %s] epoch %d train_ctc=%s eval_pert_ctc=%s eval_pert_wer=%s active=%s",
             norm_type, epoch, train_ctc.round(1), pert_ctc.round(1),
@@ -370,6 +374,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             "p_s": p_s, "opt_s": opt_s, "epoch": epoch,
             "best_score_s": best_score_s, "best_p_s": best_p_s,
             "best_epoch_s": best_epoch_s, "no_improve_s": no_improve_s,
+            "hist_len_s": hist_len_s,
             "history": {k: np.stack(history[k]) for k in history_keys},
             "clean_eval": np.asarray(
                 clean_eval if clean_eval else (np.inf, np.inf), np.float64
@@ -386,7 +391,10 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
     test_clean = _evaluate_clean(pipe.test)
     norm_summary = []
     for i, size in enumerate(sizes):
-        hist_i = {k: [float(v[i]) for v in history[k]] for k in history_keys}
+        # only the epochs recorded while the cell trained — frozen-p
+        # epochs after its early stop are not part of its run
+        L = int(hist_len_s[i])
+        hist_i = {k: [float(v[i]) for v in history[k][:L]] for k in history_keys}
         artifacts.save_epoch_bundle(cell_dirs[i], best_p_s[i][0], cfg)
         artifacts.save_json_results(
             cell_dirs[i], norm_type, size,

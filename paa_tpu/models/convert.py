@@ -134,10 +134,26 @@ def _find_cached_weights(repo: str) -> str | None:
         ),
     )
     repo_dir = os.path.join(cache, "models--" + repo.replace("/", "--"))
-    for fname in ("model.safetensors", "pytorch_model.bin"):
-        hits = sorted(glob.glob(os.path.join(repo_dir, "snapshots", "*", fname)))
-        if hits:
-            return hits[-1]
+    # Resolve the snapshot the way huggingface_hub would: refs/main names
+    # the current revision. Snapshot dir names are commit SHAs — sorting
+    # them lexicographically picks an ARBITRARY revision, so without a
+    # ref we fall back to the most recently created snapshot instead.
+    ref = os.path.join(repo_dir, "refs", "main")
+    snapshots = []
+    if os.path.exists(ref):
+        with open(ref) as fh:
+            snapshots = [os.path.join(repo_dir, "snapshots", fh.read().strip())]
+    if not snapshots:
+        snapshots = sorted(
+            glob.glob(os.path.join(repo_dir, "snapshots", "*")),
+            key=os.path.getmtime,
+            reverse=True,
+        )
+    for snap in snapshots:
+        for fname in ("model.safetensors", "pytorch_model.bin"):
+            hit = os.path.join(snap, fname)
+            if os.path.exists(hit):
+                return hit
     return None
 
 

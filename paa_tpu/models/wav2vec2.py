@@ -540,14 +540,17 @@ def _flash_attention(q, k, v, dtype, block: int = 0) -> jnp.ndarray:
     masked out via segment ids so real queries see exactly the real keys,
     and padded query rows are sliced off after the kernel. ``block`` > 0
     overrides the kernel's 128×128 default block size (clamped to the
-    padded sequence)."""
+    largest divisor of the padded sequence ≤ the request — the stock
+    kernel requires seq_len % block == 0)."""
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     B, T, nh, hd = q.shape
     Tp = max(128, -(-T // 128) * 128)
     block_sizes = None
     if block > 0:
-        b = min(block, Tp)
+        b = max(128, min(block, Tp) // 128 * 128)
+        while Tp % b:  # terminates: any 128-multiple descends to 128, and Tp % 128 == 0
+            b -= 128
         block_sizes = fa.BlockSizes(
             block_q=b, block_k_major=b, block_k=b, block_b=1,
             block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,

@@ -1,6 +1,7 @@
 """Data pipeline tests: synthetic corpus, real-data adapters (fixture
 LibriSpeech tree, mocked HF datasets), length filter, splits, collate."""
 
+import importlib.util
 import os
 import sys
 import types
@@ -106,7 +107,7 @@ def test_read_flac_requires_soundfile(tmp_path):
     clear gate error (never a bare ImportError mid-pipeline)."""
     flac = tmp_path / "x.flac"
     flac.write_bytes(b"fLaC....")
-    if any(m == "soundfile" for m in sys.modules):
+    if importlib.util.find_spec("soundfile") is not None:
         pytest.skip("soundfile installed; gate not reachable")
     with pytest.raises(RuntimeError, match="soundfile"):
         datasets._read_audio(str(flac))

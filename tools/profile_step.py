@@ -32,17 +32,24 @@ def capture(trace_dir: str) -> None:
     from paa_tpu.models import wav2vec2
     from paa_tpu.ops import psycho, text
 
+    use_pallas_fm = (
+        bench.PALLAS_FM == "1" if bench.PALLAS_FM is not None
+        else jax.default_backend() != "cpu"
+    )
     cfg = AttackConfig(
         norm_type=bench.NORM, optimizer_type=bench.OPT, lr=1e-4,
         remat=bench.REMAT, accum_steps=bench.ACCUM,
-        use_pallas_fm=jax.default_backend() != "cpu",
+        use_pallas_fm=use_pallas_fm,
     )
     attn = bench.ATTN or ("fused" if jax.default_backend() != "cpu" else "xla")
     mcfg = wav2vec2.get_config(
         bench.MODEL, remat=bench.REMAT, attention_impl=attn,
         remat_feature_extractor=bench.REMAT_FE, remat_policy=bench.REMAT_POLICY,
+        remat_fe_save_layers=bench.FE_SAVE,
         encoder_unroll=bench.UNROLL if bench.UNROLL > 0 else 10**9,
         flash_block=bench.FLASH_BLOCK,
+        fused_qkv=bench.FUSED_QKV,
+        remat_ffn=bench.REMAT_FFN,
     )
     params = wav2vec2.init_params(mcfg, example_len=2000)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)
