@@ -260,7 +260,9 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             ctc += np.asarray(m.ctc_loss, np.float64)
             refs = [split.texts[i] for i in np.asarray(indices)[w]]
             wer += _sweep_wer(np.asarray(m.greedy_ids), w, refs)
-        n = max(len(pending), 1)
+        if not pending:  # same sentinel as AttackRunner.evaluate
+            return np.full((S,), np.inf), np.full((S,), np.inf)
+        n = len(pending)
         return ctc / n, wer / n
 
     def _evaluate_clean(split):
@@ -276,7 +278,9 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             ctc_scores.append(float(m.ctc_loss))
             refs = [split.texts[i] for i in np.asarray(batch.indices)[w]]
             wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], refs))
-        n = max(len(ctc_scores), 1)
+        if not ctc_scores:  # same sentinel as AttackRunner.evaluate
+            return float("inf"), float("inf")
+        n = len(ctc_scores)
         return sum(ctc_scores) / n, sum(wer_scores) / n
 
     # -- epochs ------------------------------------------------------------
