@@ -73,9 +73,9 @@ def main() -> int:
     from paa_tpu.ops import psycho, text
 
     use_pallas_fm = (
-        PALLAS_FM == "1" if PALLAS_FM is not None else jax.default_backend() != "cpu"
+        PALLAS_FM == "1" if PALLAS_FM is not None else jax.default_backend() == "tpu"
     )
-    attn = ATTN or ("fused" if jax.default_backend() != "cpu" else "xla")
+    attn = ATTN or ("fused" if jax.default_backend() == "tpu" else "xla")
     cfg = AttackConfig(
         norm_type=NORM, optimizer_type=OPT, lr=1e-4, remat=REMAT,
         accum_steps=ACCUM, use_pallas_fm=use_pallas_fm,

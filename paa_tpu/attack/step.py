@@ -19,7 +19,6 @@ An epsilon sweep adds a vmapped leading axis sharded along ``sweep``
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -27,7 +26,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from paa_tpu.attack import optimizers
-from paa_tpu.attack.optimizers import OptState
 from paa_tpu.config import AttackConfig, ConstraintParams
 from paa_tpu.ops import ctc, projections
 from paa_tpu.ops.psycho import PsychoTables

@@ -74,7 +74,7 @@ def load_model_bundle(args):
         # on TPU (docs/PERF.md) but is TPU-only; dense XLA elsewhere
         import jax
 
-        attention_impl = "fused" if jax.default_backend() not in ("cpu",) else "xla"
+        attention_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     mcfg = wav2vec2.get_config(
         args.model,
         compute_dtype=args.compute_dtype,
@@ -124,7 +124,8 @@ def main(args) -> int:
             synthetic_samples=args.synthetic_samples,
         )
         pipe = pipeline_lib.build_pipeline(
-            samples, relative_audio_length=args.relative_audio_length, seed=args.seed
+            samples, relative_audio_length=args.relative_audio_length,
+        seed=args.seed, target_sr=args.sr,
         )
         log.info(
             "splits: train=%d eval=%d test=%d | audio_len=%d (%.1fs)",

@@ -110,7 +110,8 @@ def run_sweep(args) -> dict:
         small_data=args.small_data, synthetic_samples=args.synthetic_samples,
     )
     pipe = pipeline_lib.build_pipeline(
-        samples, relative_audio_length=args.relative_audio_length, seed=args.seed
+        samples, relative_audio_length=args.relative_audio_length,
+        seed=args.seed, target_sr=args.sr,
     )
     _, params, apply_fn = run_attack_cli.load_model_bundle(args)
 
@@ -233,13 +234,13 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         clean_eval = (float(ce[0]), float(ce[1])) if np.isfinite(ce[0]) else None
         log.info("[sweep %s] resuming at epoch %d", norm_type, start_epoch)
 
-    # fresh (non-resumed) sweeps truncate per-cell metric streams so a
-    # re-run in an existing root doesn't append duplicate epoch lines
-    if start_epoch == 0:
-        for d in cell_dirs:
-            mp = os.path.join(d, "metrics.jsonl")
-            if os.path.exists(mp):
-                os.remove(mp)
+    # truncate per-cell metric streams to epochs before the resume point
+    # (fresh sweeps start clean; a resumed sweep never duplicates an
+    # epoch line — the lines are written before the epoch's checkpoint)
+    from paa_tpu.train.loop import _truncate_metrics
+
+    for d in cell_dirs:
+        _truncate_metrics(os.path.join(d, "metrics.jsonl"), start_epoch)
 
     def _labels_for(batch):
         if cfg.attack_mode == "targeted":
@@ -287,6 +288,11 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
     t_start = time.perf_counter()
     n_steps = 0
     for epoch in range(start_epoch, cfg.num_epochs):
+        if np.all(no_improve_s >= cfg.early_stopping):
+            # resumed from a checkpoint where every cell had already
+            # early-stopped: don't train extra epochs, go to finalize
+            log.info("[sweep %s] resumed fully early-stopped; finalizing", norm_type)
+            break
         # batch order is a pure function of (seed, epoch) — resume-exact,
         # matching train/loop.py
         data_rng = np.random.default_rng((cfg.seed, epoch))

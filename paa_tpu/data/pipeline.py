@@ -106,18 +106,46 @@ def _make_split(samples: list, texts: list[str], audio_len: int, label_len: int)
     )
 
 
+def _to_target_sr(w, sr: int, target_sr: int):
+    """Polyphase-resample one waveform to ``target_sr`` (no-op if equal).
+
+    The HF adapters cast to 16 kHz at load (datasets.py); local WAV/FLAC
+    trees keep their native rate, and silently treating e.g. 44.1 kHz
+    samples as 16 kHz would corrupt the model features, the STFT bin
+    frequencies behind every psychoacoustic table, and the exported WAVs.
+    """
+    if sr == target_sr or sr <= 0:
+        return w
+    try:
+        from scipy.signal import resample_poly
+    except ImportError as e:  # pragma: no cover - scipy ships in the env
+        raise RuntimeError(
+            f"corpus sample rate {sr} != target {target_sr}; resampling "
+            "requires scipy (or pre-convert the audio tree)"
+        ) from e
+    import math
+
+    g = math.gcd(int(sr), int(target_sr))
+    return resample_poly(
+        np.asarray(w, np.float32).reshape(-1), target_sr // g, sr // g
+    ).astype(np.float32)
+
+
 def build_pipeline(
     samples: list,
     relative_audio_length: float = 0.80,
     seed: int = 5,
     target_size: int | None = None,
+    target_sr: int = 16000,
 ) -> DataPipeline:
     """Length-filter, split and pre-tokenize a materialized corpus.
 
     Mirrors reference semantics: quantile window from the first 300
     samples (build.py:186-192), deterministic shuffle, 80/10/10 split
-    (build.py:198-208).
+    (build.py:198-208). Samples whose rate differs from ``target_sr``
+    are resampled first (see :func:`_to_target_sr`).
     """
+    samples = [(_to_target_sr(w, sr, target_sr), target_sr, t) for (w, sr, t) in samples]
     lengths = np.asarray(
         [len(np.asarray(w).reshape(-1)) for (w, _, _) in samples[: min(300, len(samples))]],
         dtype=np.float64,

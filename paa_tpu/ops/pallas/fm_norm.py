@@ -76,7 +76,6 @@ def fm_weighted_power_sum(
     tmask = (jnp.arange(T_pad, dtype=jnp.float32) < T).astype(jnp.float32)
     tmask = tmask.reshape(1, T_pad)
 
-    kwargs = {}
     if _HAS_PLTPU and not interpret:
         spec = lambda block, index_map: pl.BlockSpec(
             block, index_map, memory_space=pltpu.VMEM
@@ -102,7 +101,6 @@ def fm_weighted_power_sum(
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_t, 1, 1), jnp.float32),
         interpret=interpret,
-        **kwargs,
     )(re, im, table, in_domain.reshape(1, F), tmask)
     return jnp.sum(partials)
 

@@ -60,6 +60,26 @@ def _targeted_labels(cfg: AttackConfig, batch_size: int, label_len: int):
     return text_ops.encode_batch(texts, pad_to=label_len)
 
 
+def _truncate_metrics(path: str, start_epoch: int) -> None:
+    """Keep only metrics.jsonl lines with epoch < start_epoch (idempotent
+    epoch stream across resumes; unparseable lines are dropped)."""
+    if not os.path.exists(path):
+        return
+    if start_epoch <= 0:
+        os.remove(path)
+        return
+    kept = []
+    with open(path) as f:
+        for line in f:
+            try:
+                if json.loads(line).get("epoch", start_epoch) < start_epoch:
+                    kept.append(line)
+            except json.JSONDecodeError:
+                pass
+    with open(path, "w") as f:
+        f.writelines(kept)
+
+
 def _batch_wer(ids: np.ndarray, ref_texts: list[str]) -> float:
     preds = [p.lower() for p in text_ops.decode_batch(ids)]
     refs = [r.lower() for r in ref_texts]
@@ -289,15 +309,21 @@ def run_attack(
         history = {k: list(np.asarray(v)) for k, v in state["history"].items()}
         logger.info("Resuming from checkpoint: %s (epoch=%d)", path, start_epoch)
 
-    # fresh (non-resumed) runs truncate the metric stream so a re-run in
-    # an existing dir doesn't append duplicate epoch lines
+    # truncate the metric stream to epochs before the resume point: fresh
+    # runs start clean, and a resumed run never duplicates an epoch line
+    # (the per-epoch line is written before the checkpoint, so a crash in
+    # between would otherwise replay the epoch and append it twice)
     metrics_path = os.path.join(save_dir, "metrics.jsonl")
-    if start_epoch == 0 and os.path.exists(metrics_path):
-        os.remove(metrics_path)
+    _truncate_metrics(metrics_path, start_epoch)
 
     clean_eval_cache = None
     step_ms = 0.0
     for epoch in range(start_epoch, cfg.num_epochs):
+        if no_improve >= cfg.early_stopping:
+            # a checkpoint written at the early-stop epoch resumes here:
+            # don't train extra epochs, go straight to finalize
+            logger.info("resumed run already early-stopped; finalizing")
+            break
         logger.info("starting epoch: %d", epoch)
         # shuffle order is a pure function of (seed, epoch) so a resumed
         # run sees exactly the batch order of an uninterrupted one

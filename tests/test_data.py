@@ -243,3 +243,20 @@ def test_prefetch_preserves_stream(pipe):
         for b in pipeline.prefetch_to_device(pipe.eval.batches(8))
     ]
     assert plain == pre
+
+
+def test_pipeline_resamples_to_target_sr():
+    """Non-16 kHz corpora are polyphase-resampled at pipeline build time
+    instead of silently consumed at the wrong time scale."""
+    rng = np.random.default_rng(0)
+    t8 = np.linspace(0, 1, 8000, endpoint=False)
+    tone8k = np.sin(2 * np.pi * 440 * t8).astype(np.float32)
+    samples = [(tone8k.copy(), 8000, f"word{i}") for i in range(12)]
+    pipe16 = pipeline.build_pipeline(samples, seed=0, target_sr=16000)
+    # 1 s of 8 kHz audio becomes ~2 s at 16 kHz samples
+    assert abs(pipe16.audio_len - 16000) <= 16
+    # already-matching corpora are untouched
+    samples16 = [(rng.standard_normal(16000).astype(np.float32), 16000, f"w{i}")
+                 for i in range(12)]
+    pipe_same = pipeline.build_pipeline(samples16, seed=0, target_sr=16000)
+    assert pipe_same.audio_len == 16000

@@ -34,14 +34,14 @@ def capture(trace_dir: str) -> None:
 
     use_pallas_fm = (
         bench.PALLAS_FM == "1" if bench.PALLAS_FM is not None
-        else jax.default_backend() != "cpu"
+        else jax.default_backend() == "tpu"
     )
     cfg = AttackConfig(
         norm_type=bench.NORM, optimizer_type=bench.OPT, lr=1e-4,
         remat=bench.REMAT, accum_steps=bench.ACCUM,
         use_pallas_fm=use_pallas_fm,
     )
-    attn = bench.ATTN or ("fused" if jax.default_backend() != "cpu" else "xla")
+    attn = bench.ATTN or ("fused" if jax.default_backend() == "tpu" else "xla")
     mcfg = wav2vec2.get_config(
         bench.MODEL, remat=bench.REMAT, attention_impl=attn,
         remat_feature_extractor=bench.REMAT_FE, remat_policy=bench.REMAT_POLICY,
