@@ -10,14 +10,21 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
 
 Baseline: the reference publishes NO throughput numbers (SURVEY.md §6).
-``BASELINE_STEPS_PER_SEC`` is an engineering estimate of the reference's
-eager PyTorch pipeline on its actual hardware (1× A40, batch 64 of ~10 s
-clips): Wav2Vec2-base fwd+bwd ≈ 9 TFLOP/step at fp32 eager (≈25% MFU of
-A40's 37 TF/s TF32 ⇒ ~1.0 s) plus the per-batch scipy Fletcher-Munson
-interpolation round-trip over a (64, 513, 626) STFT (≈20M grid queries,
-~1 s on 2 CPUs; reference: src/core/projections.py:104-109) and CPU
-tokenize/decode — ≈2 s/step ⇒ 0.5 steps/s. The estimate is deliberately
-generous to the baseline.
+``BASELINE_STEPS_PER_SEC`` is MEASURED on this environment's CPU by
+``tools/baseline_torch.py`` (2026-08-17, torch 2.13 CPU): the reference's
+eager hot loop — random-init HF Wav2Vec2ForCTC base, clamp, CTC 'sum'
+loss, backward to p, PGD sign step, eager scipy Fletcher-Munson
+projection round-trip (reference: src/training_utils/train.py:126-180,
+src/core/projections.py:104-109) — at 3.74 s/sample fwd+bwd (best
+observed over B=2/B=4 probes spanning 3.74-5.64 s/sample) ⇒ 239 s/step
+at B=64×10 s on 1 CPU ⇒ 0.0042 steps/s, doubled to 0.0084 assuming
+PERFECT scaling to the
+reference's 2-CPU SLURM allocation (submit_scan_range.py:53-55; every
+rounding here favors the baseline; per-batch tokenize/decode/WER cost
+omitted entirely). The reference's actual runs used an A40 GPU — no A40
+exists here to measure, so the prior engineering estimate (~0.5 steps/s:
+≈25% MFU TF32 fwd+bwd + CPU interp/decode) is retained as the separate
+``vs_a40_estimate`` field and a labeled row in docs/PERF.md.
 """
 
 from __future__ import annotations
@@ -27,7 +34,8 @@ import os
 import sys
 import time
 
-BASELINE_STEPS_PER_SEC = 0.5
+BASELINE_STEPS_PER_SEC = 0.0084  # measured, tools/baseline_torch.py
+A40_ESTIMATE_STEPS_PER_SEC = 0.5  # engineering estimate, docs/PERF.md
 
 B = int(os.environ.get("BENCH_BATCH", "64"))
 T = int(os.environ.get("BENCH_AUDIO_LEN", "160000"))  # 10 s @ 16 kHz
@@ -129,6 +137,11 @@ def main() -> int:
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/sec",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+                "baseline_steps_per_sec": BASELINE_STEPS_PER_SEC,
+                "baseline_source": "measured CPU eager hot loop (tools/baseline_torch.py)",
+                "vs_a40_estimate": round(
+                    steps_per_sec / A40_ESTIMATE_STEPS_PER_SEC, 2
+                ),
             }
         )
     )

@@ -111,8 +111,9 @@ def create_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--attention_impl", type=str, default=None,
-                        choices=["xla", "flash", "fused"],
-                        help="default: fused on TPU, xla on CPU. fused = short-seq "
+                        choices=["xla", "flash", "fused", "auto"],
+                        help="default: auto (fused where it fits VMEM on TPU, "
+                             "flash on long clips, xla on CPU). fused = short-seq "
                              "whole-head Pallas kernel (probs never touch HBM; "
                              "fastest at <=10s audio, TPU only); flash = stock "
                              "Pallas flash attention (O(T) memory, for long "

@@ -70,11 +70,11 @@ def load_model_bundle(args):
         overrides["do_normalize"] = False
     attention_impl = args.attention_impl
     if attention_impl is None:
-        # the fused whole-head Pallas kernel is the measured-fastest path
-        # on TPU (docs/PERF.md) but is TPU-only; dense XLA elsewhere
-        import jax
-
-        attention_impl = "fused" if jax.default_backend() == "tpu" else "xla"
+        # "auto": the fused whole-head Pallas kernel where it fits VMEM
+        # (the measured-fastest TPU path, docs/PERF.md), flash on longer
+        # clips, dense XLA off-TPU — resolved per traced shape so
+        # default-flag runs on long audio degrade instead of erroring
+        attention_impl = "auto"
     mcfg = wav2vec2.get_config(
         args.model,
         compute_dtype=args.compute_dtype,

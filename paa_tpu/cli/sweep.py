@@ -189,7 +189,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
     if cfg.attack_mode == "targeted":
         from paa_tpu.train.loop import _targeted_labels
 
-        tl, tp = _targeted_labels(cfg, cfg.batch_size, L)
+        tl, tp = _targeted_labels(cfg, cfg.batch_size, L, audio_len=pipe.audio_len)
         tgt_labels, tgt_pads = jnp.asarray(tl), jnp.asarray(tp)
 
     # -- per-cell tracking state (host) -----------------------------------
@@ -210,7 +210,43 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
     clean_eval = None  # (ctc, wer) — constant across epochs and cells
 
     # -- checkpoint/resume (replaces SLURM --requeue; build.py:266-286) ---
+    # The checkpoint is guarded by a config fingerprint: resuming a sweep
+    # whose grid/seed/optimizer/shapes changed would silently continue
+    # stale state under freshly-labeled cell dirs. ``--no_resume`` (and
+    # ``--small_data``, matching run_attack/build.py:279) discards any
+    # leftover state; a finished sweep deletes its checkpoint (below), so
+    # re-running under the same save_root starts fresh.
+    import dataclasses as _dc
+
     ckpt_path = os.path.join(root, f"sweep_state_{norm_type}.msgpack")
+    fp_path = ckpt_path + ".json"
+    cfg_fp = _dc.asdict(cfg)
+    for transient in ("num_epochs", "early_stopping"):
+        # run-length knobs may legitimately change across a resume (a
+        # requeued job gets a new walltime); everything else must match
+        cfg_fp.pop(transient)
+    fingerprint = {
+        "cfg": cfg_fp,
+        "sizes": [float(s) for s in sizes],
+        "audio_len": int(pipe.audio_len),
+        "dataset": args.dataset,
+    }
+    if args.no_resume or args.small_data:
+        for stale in (ckpt_path, fp_path):
+            if os.path.exists(stale):
+                os.remove(stale)
+    elif os.path.exists(ckpt_path):
+        saved_fp = None
+        if os.path.exists(fp_path):
+            with open(fp_path) as fh:
+                saved_fp = json.load(fh)
+        if saved_fp != fingerprint:
+            raise RuntimeError(
+                f"Sweep checkpoint {ckpt_path!r} was written under a "
+                "different configuration (grid/seed/optimizer/shapes "
+                "changed). Pass --no_resume to discard it, or restore the "
+                "original flags to resume."
+            )
     template = {
         "p_s": p_s, "opt_s": opt_s, "epoch": 0,
         "best_score_s": best_score_s, "best_p_s": best_p_s,
@@ -380,6 +416,9 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
                 sweep_steps_per_sec=n_steps * S / wall if wall else None,
             )
 
+        if not os.path.exists(fp_path):
+            with open(fp_path, "w") as fh:
+                json.dump(fingerprint, fh)
         checkpoint.save_checkpoint(ckpt_path, {
             "p_s": p_s, "opt_s": opt_s, "epoch": epoch,
             "best_score_s": best_score_s, "best_p_s": best_p_s,
@@ -432,6 +471,11 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             "test_pert_wer": float(test_pert_wer[i]),
             "dir": cell_dirs[i],
         })
+    # finished: the checkpoint has served its preemption-resume purpose —
+    # remove it so a later sweep under the same root starts fresh
+    for done in (ckpt_path, fp_path):
+        if os.path.exists(done):
+            os.remove(done)
     return {
         "cells": norm_summary,
         "cell_steps_per_sec": n_steps * S / wall if wall else None,

@@ -143,6 +143,9 @@ def _find_cached_weights(repo: str) -> str | None:
     if os.path.exists(ref):
         with open(ref) as fh:
             snapshots = [os.path.join(repo_dir, "snapshots", fh.read().strip())]
+        # a ref pointing at a pruned/absent snapshot must not shadow the
+        # mtime fallback — other snapshots may still hold the weights
+        snapshots = [s for s in snapshots if os.path.isdir(s)]
     if not snapshots:
         snapshots = sorted(
             glob.glob(os.path.join(repo_dir, "snapshots", "*")),

@@ -122,7 +122,9 @@ class Wav2Vec2Config:
     # memory). "fused": the short-seq whole-head Pallas kernel
     # (ops/pallas/attention.py) — the entire softmax(QKᵀ)V and its
     # backward run VMEM-resident per (batch, head); probs never touch
-    # HBM and only (q, k, v, logsumexp) are saved. TPU only.
+    # HBM and only (q, k, v, logsumexp) are saved. TPU only. "auto":
+    # resolve per traced shape — fused when its VMEM footprint fits,
+    # flash otherwise (long clips), dense xla off-TPU.
     attention_impl: str = "xla"
     # Fuse the q/k/v projections into ONE (H, 3H) matmul per layer —
     # larger MXU tiles, one pass over x instead of three. The parameter
@@ -151,7 +153,7 @@ class Wav2Vec2Config:
     def __post_init__(self):
         checks = {
             "conv_impl": ("conv", "pairdot", "im2col", "tapdot"),
-            "attention_impl": ("xla", "flash", "fused"),
+            "attention_impl": ("xla", "flash", "fused", "auto"),
             "feat_extract_norm": ("group", "layer"),
             "remat_policy": ("full", "save_cheap", "no_probs", "save_resid"),
         }
@@ -497,20 +499,35 @@ class SelfAttention(nn.Module):
             return t.reshape(t.shape[:-1] + (nh, hd))
 
         q, k, v = split(q), split(k), split(v)
-        if cfg.attention_impl == "xla":
+        impl = cfg.attention_impl
+        if impl == "auto":
+            # fused is the measured-fastest TPU path at the attack's
+            # short sequences but its whole-problem scratch outgrows VMEM
+            # on long clips (~>13 s @ 16 kHz) — degrade to flash instead
+            # of erroring; non-TPU backends take the dense XLA path
+            from paa_tpu.ops.pallas import attention as fused_attn
+
+            if jax.default_backend() != "tpu":
+                impl = "xla"
+            else:
+                T = x.shape[1]
+                Tp = max(128, -(-T // 128) * 128)
+                G = fused_attn.feasible_chunks(nh, hd, Tp, cfg.dtype.itemsize)
+                impl = "fused" if G is not None else "flash"
+        if impl == "xla":
             # The fused path names its (padded, transposed) kernel inputs
             # inside fused_attention; the dense path names them here so
             # the "save_resid" whitelist policy covers both.
             q = checkpoint_name(q, "attn_qkv")
             k = checkpoint_name(k, "attn_qkv")
             v = checkpoint_name(v, "attn_qkv")
-        if cfg.attention_impl == "fused":
+        if impl == "fused":
             from paa_tpu.ops.pallas import attention as fused_attn
 
             ctx = fused_attn.fused_attention(
                 q.astype(cfg.dtype), k.astype(cfg.dtype), v.astype(cfg.dtype)
             )
-        elif cfg.attention_impl == "flash":
+        elif impl == "flash":
             ctx = _flash_attention(q, k, v, cfg.dtype, block=cfg.flash_block)
         else:
             # scores stay in compute dtype (bf16): the O(T²) buffer is

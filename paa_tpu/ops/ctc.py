@@ -62,10 +62,3 @@ def collapse_mask(ids: jnp.ndarray) -> jnp.ndarray:
     statistics without host transfer."""
     prev = jnp.pad(ids[..., :-1], ((0, 0), (1, 0)), constant_values=-1)
     return (ids != prev) & (ids != PAD_ID)
-
-
-def loss_and_logits(apply_fn, params, audio, labels, label_paddings, reduction="sum"):
-    """Convenience: model forward + CTC loss (mirrors the reference's
-    ``get_loss_for_training`` contract, src/core/loss_helpers.py:12-23)."""
-    logits = apply_fn(params, audio)
-    return ctc_loss(logits, labels, label_paddings, reduction), logits

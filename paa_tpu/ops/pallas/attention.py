@@ -54,8 +54,11 @@ _NEG_INF = -1e30
 _VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16 MiB limit
 
 
-def _pick_chunks(H: int, d: int, Tp: int, itemsize: int) -> int:
-    """Smallest G (number of head chunks) whose per-cell footprint fits."""
+def feasible_chunks(H: int, d: int, Tp: int, itemsize: int) -> int | None:
+    """Smallest G (number of head chunks) whose per-cell footprint fits
+    VMEM, or None when no chunking does (long sequences — roughly >13 s
+    of 16 kHz audio — outgrow the whole-problem kernel; callers in
+    auto-select mode fall back to the multi-block flash kernel then)."""
     for G in range(1, H + 1):
         if H % G:
             continue
@@ -66,10 +69,17 @@ def _pick_chunks(H: int, d: int, Tp: int, itemsize: int) -> int:
         scratch = 4 * Tp * Tp * 4 + 2 * Tp * W * 4  # s/p/dp/ds + f32 casts
         if blocks + scratch <= _VMEM_BUDGET:
             return G
-    raise ValueError(
-        f"no head-chunking of H={H}, d={d} fits VMEM at Tp={Tp}; "
-        "use attention_impl='flash' or 'xla' for this shape"
-    )
+    return None
+
+
+def _pick_chunks(H: int, d: int, Tp: int, itemsize: int) -> int:
+    G = feasible_chunks(H, d, Tp, itemsize)
+    if G is None:
+        raise ValueError(
+            f"no head-chunking of H={H}, d={d} fits VMEM at Tp={Tp}; "
+            "use attention_impl='flash' or 'xla' for this shape"
+        )
+    return G
 
 
 def _masked_rows(ref, T_real: int):

@@ -42,8 +42,3 @@ def sweep_mesh(n_sweep: int, n_devices: int | None = None) -> Mesh:
         raise ValueError(f"n_sweep={n_sweep} must divide device count {n}")
     arr = np.asarray(devices).reshape(n_sweep, n // n_sweep)
     return Mesh(arr, axis_names=("sweep", "data"))
-
-
-def pad_batch_to_devices(batch_size: int, n_data: int) -> int:
-    """Round a global batch up to a multiple of the data-axis size."""
-    return ((batch_size + n_data - 1) // n_data) * n_data

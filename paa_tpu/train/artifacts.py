@@ -44,13 +44,6 @@ def save_audio(filename: str, tensor, sample_rate: int = 16000, amplify: float =
         f.writeframes(pcm.tobytes())
 
 
-def load_audio(filename: str) -> tuple[np.ndarray, int]:
-    with wave_mod.open(filename, "rb") as f:
-        sr = f.getframerate()
-        raw = f.readframes(f.getnframes())
-    return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0, sr
-
-
 def plot_pert(path: str, tensor, sample_rate: int = 16000, title: str = "Perturbation waveform"):
     """Waveform PNG (reference: save.py:24-45)."""
     if not HAVE_MPL:

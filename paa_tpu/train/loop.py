@@ -48,16 +48,41 @@ class RunResult:
     history: dict
 
 
-def _targeted_labels(cfg: AttackConfig, batch_size: int, label_len: int):
+def _targeted_labels(
+    cfg: AttackConfig, batch_size: int, label_len: int,
+    audio_len: int | None = None,
+):
     """Targeted label grid: the repeated phrase, padded to at least the
     corpus label width. A phrase needing MORE slots than the corpus
     allocated simply widens the grid — targeted steps always feed these
     labels, so shapes stay consistent (the reference has no such coupling;
-    src/core/loss_helpers.py:14-20)."""
+    src/core/loss_helpers.py:14-20).
+
+    When ``audio_len`` is given, the widened label is validated against
+    the encoder's frame count: a CTC alignment needs one frame per token
+    plus one per adjacent duplicate, so an oversized ``--target_reps``
+    raises an actionable error instead of producing inf losses on every
+    step."""
     texts = text_ops.clean_transcripts(
         text_ops.targeted_texts(cfg.target, cfg.target_reps, batch_size)
     )
-    return text_ops.encode_batch(texts, pad_to=label_len)
+    labels, paddings = text_ops.encode_batch(texts, pad_to=label_len)
+    if audio_len is not None:
+        from paa_tpu.models import wav2vec2
+
+        frames = wav2vec2.get_config(cfg.model_name).feat_extract_output_length(
+            audio_len
+        )
+        row = np.asarray(labels[0])[np.asarray(paddings[0]) < 0.5]
+        need = len(row) + int(np.sum(row[1:] == row[:-1]))
+        if need > frames:
+            raise ValueError(
+                f"targeted label ({cfg.target!r} × {cfg.target_reps}) needs "
+                f"{need} CTC frames but the model emits only {frames} for "
+                f"{audio_len}-sample audio — every step's loss would be "
+                "inf. Reduce --target_reps or shorten --target."
+            )
+    return labels, paddings
 
 
 def _truncate_metrics(path: str, start_epoch: int) -> None:
@@ -119,7 +144,7 @@ class AttackRunner:
 
         L = pipe.train.labels.shape[1]
         if cfg.attack_mode == "targeted":
-            tl, tp = _targeted_labels(cfg, cfg.batch_size, L)
+            tl, tp = _targeted_labels(cfg, cfg.batch_size, L, audio_len=pipe.audio_len)
             self._tgt_labels, self._tgt_pads = jnp.asarray(tl), jnp.asarray(tp)
         else:
             self._tgt_labels = self._tgt_pads = None

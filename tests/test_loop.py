@@ -125,6 +125,16 @@ def test_early_stopping(tmp_path, bundle):
     assert len(res.history["train_ctc"]) <= 4  # 0 + patience, not 10
 
 
+def test_targeted_labels_infeasible_raises(bundle):
+    """An oversized --target_reps cannot fit any CTC alignment in the
+    encoder's frame count: raise an actionable error instead of feeding
+    inf/degenerate losses to every step."""
+    _, _, pipe = bundle
+    cfg = _cfg(attack_mode="targeted", target="delete", target_reps=100)
+    with pytest.raises(ValueError, match="target_reps"):
+        loop._targeted_labels(cfg, 8, 16, audio_len=pipe.audio_len)
+
+
 @pytest.mark.slow
 def test_targeted_mode_runs(tmp_path, bundle):
     """target_reps=8 needs more label slots than the corpus allocated —

@@ -82,3 +82,52 @@ def test_fused_attention_head_chunking_matches(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-5, err_msg=name
         )
+
+
+def test_pick_chunks_pins_production_geometries():
+    """The VMEM-feasibility model's choices for the two production
+    shapes (bf16, 10 s audio → Tp=640) are load-bearing: a regression in
+    ``feasible_chunks`` would change the compiled kernel on the real
+    chip without any other test noticing.
+
+    wav2vec2-base: H=12, d=64 → G=3 (W=256).
+    wav2vec2-large-lv60 (the committed reference's model,
+    build.py:229-230): H=16, d=64 → G=4 (W=256)."""
+    assert fused.feasible_chunks(12, 64, 640, 2) == 3
+    assert fused.feasible_chunks(16, 64, 640, 2) == 4
+    # long clips outgrow the whole-problem kernel: no feasible chunking
+    assert fused.feasible_chunks(12, 64, 10_240, 2) is None
+    with pytest.raises(ValueError, match="flash"):
+        fused._pick_chunks(12, 64, 10_240, 2)
+
+
+def test_lv60_head_geometry_matches_dense(rng):
+    """Numerics at the lv60 attention geometry (H=16, d=64, seq≈500)
+    with its production head-chunking G=4 — pins the exact (grid, lse
+    layout) the fused kernel runs on-device for the committed
+    reference's model."""
+    B, T, H, d = 1, 499, 16, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, d)).astype(np.float32) * 0.3)
+        for _ in range(3)
+    )
+    Tp = 512
+    flat = lambda t: t.reshape(B, T, H * d)
+    got = fused._attend(flat(q), flat(k), flat(v), H, 4, Tp, True).reshape(
+        B, T, H, d
+    )
+    want = _dense_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_auto_attention_impl_resolves_on_cpu(rng):
+    """attention_impl='auto' must trace and run off-TPU (resolving to the
+    dense XLA path) — the default-flag CLI path on any backend."""
+    from paa_tpu.models import wav2vec2
+
+    mcfg = wav2vec2.get_config("wav2vec2-tiny", attention_impl="auto")
+    params = wav2vec2.init_params(mcfg, example_len=2000)
+    model = wav2vec2.Wav2Vec2ForCTC(mcfg)
+    audio = jnp.asarray(rng.standard_normal((2, 2000)).astype(np.float32) * 0.1)
+    logits = model.apply({"params": params}, audio)
+    assert bool(jnp.all(jnp.isfinite(logits)))

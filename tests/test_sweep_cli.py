@@ -36,7 +36,11 @@ def _sweep_args(save_root, **kw):
     defaults.update(kw)
     argv = []
     for k, v in defaults.items():
-        argv += [f"--{k}", str(v)]
+        if isinstance(v, bool):  # store_true flags take no value
+            if v:
+                argv.append(f"--{k}")
+        else:
+            argv += [f"--{k}", str(v)]
     return parser.parse_args(argv)
 
 
@@ -137,15 +141,37 @@ def test_one_cell_sweep_matches_run_attack(tmp_path):
     )
 
 
-def test_sweep_resume_is_exact(tmp_path):
-    """1 epoch + resumed 1 more == 2 uninterrupted epochs: sweep state is
-    fully checkpointed and batch order is (seed, epoch)-pure — the
-    replacement for SLURM requeue-resume (submit_scan_range.py:58)."""
+def _preempt_after_epochs(monkeypatch, args):
+    """Run a sweep that dies at finalize (i.e. after its last epoch's
+    checkpoint) — a faithful stand-in for SLURM preemption mid-sweep."""
+    from paa_tpu.train import artifacts
+
+    def boom(*a, **k):
+        raise RuntimeError("preempted")
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(artifacts, "save_epoch_bundle", boom)
+        with pytest.raises(RuntimeError, match="preempted"):
+            sweep.run_sweep(args)
+
+
+def test_sweep_resume_is_exact(tmp_path, monkeypatch):
+    """1 epoch + preemption + resumed 1 more == 2 uninterrupted epochs:
+    sweep state is fully checkpointed and batch order is (seed,
+    epoch)-pure — the replacement for SLURM requeue-resume
+    (submit_scan_range.py:58)."""
     grid = json.dumps({"linf": [5e-3]})
     kw = dict(norms="linf", grid=grid, early_stopping=99)
 
     s1 = sweep.run_sweep(_sweep_args(tmp_path / "straight", num_epochs=2, **kw))
-    sweep.run_sweep(_sweep_args(tmp_path / "resumed", num_epochs=1, **kw))
+    # a COMPLETED sweep removes its checkpoint (stale-state guard); only a
+    # preempted one leaves state behind to resume from
+    assert not os.path.exists(tmp_path / "straight" / "sweep_state_linf.msgpack")
+
+    _preempt_after_epochs(
+        monkeypatch, _sweep_args(tmp_path / "resumed", num_epochs=1, **kw)
+    )
+    assert os.path.exists(tmp_path / "resumed" / "sweep_state_linf.msgpack")
     s2 = sweep.run_sweep(_sweep_args(tmp_path / "resumed", num_epochs=2, **kw))
 
     d1 = s1["linf"]["cells"][0]["dir"]
@@ -157,3 +183,26 @@ def test_sweep_resume_is_exact(tmp_path):
     # resumed metrics stream covers both epochs, no duplicates
     lines = [json.loads(l) for l in open(os.path.join(d2, "metrics.jsonl"))]
     assert [l["epoch"] for l in lines] == [0, 1]
+
+
+def test_sweep_resume_refuses_changed_config(tmp_path, monkeypatch):
+    """A leftover checkpoint from a DIFFERENT configuration (grid/lr/seed
+    changed under the same save_root) must not be silently resumed —
+    results would be labeled with the new epsilons but computed from
+    stale state."""
+    kw = dict(norms="linf", early_stopping=99, num_epochs=1)
+    _preempt_after_epochs(
+        monkeypatch,
+        _sweep_args(tmp_path, grid=json.dumps({"linf": [5e-3]}), **kw),
+    )
+    # same cell count, different epsilon → refuse
+    with pytest.raises(RuntimeError, match="different configuration"):
+        sweep.run_sweep(
+            _sweep_args(tmp_path, grid=json.dumps({"linf": [1e-3]}), **kw)
+        )
+    # --no_resume discards the stale state and starts fresh
+    args = _sweep_args(
+        tmp_path, grid=json.dumps({"linf": [1e-3]}), no_resume=True, **kw
+    )
+    summary = sweep.run_sweep(args)
+    assert summary["linf"]["cells"][0]["size"] == 1e-3
