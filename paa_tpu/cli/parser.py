@@ -132,6 +132,10 @@ def create_arg_parser() -> argparse.ArgumentParser:
                         help="root dir for run artifacts (default: ./logs)")
     parser.add_argument("--synthetic_samples", type=int, default=512,
                         help="corpus size for --dataset synthetic")
+    parser.add_argument("--synthetic_words", type=str, default=None,
+                        help="MIN,MAX words per synthetic utterance (controls "
+                             "clip length; ~0.46 s/word — 22,26 gives ~10 s "
+                             "production-shape clips)")
     parser.add_argument("--no_resume", action="store_true",
                         help="ignore existing checkpoints in the save dir")
     parser.add_argument("--profile", action="store_true",

@@ -23,6 +23,14 @@ from paa_tpu.models import convert, wav2vec2
 from paa_tpu.train import artifacts, checkpoint, log_helpers, loop
 
 
+def _parse_words(spec: str | None) -> tuple[int, int] | None:
+    """``--synthetic_words "MIN,MAX"`` → (min, max) or None."""
+    if not spec:
+        return None
+    lo, hi = (int(v) for v in spec.split(","))
+    return lo, hi
+
+
 def make_save_dir(args) -> str:
     """logs/{attack_mode}/{dataset}/{norm}_{size}_{mode}_{opt}
     (reference: build.py:249-254)."""
@@ -122,6 +130,7 @@ def main(args) -> int:
             data_root=args.data_root,
             small_data=args.small_data,
             synthetic_samples=args.synthetic_samples,
+            synthetic_words=_parse_words(args.synthetic_words),
         )
         pipe = pipeline_lib.build_pipeline(
             samples, relative_audio_length=args.relative_audio_length,

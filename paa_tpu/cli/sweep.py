@@ -71,6 +71,13 @@ def create_sweep_parser() -> argparse.ArgumentParser:
         "--epochs_per_cell", type=int, default=None,
         help="override --num_epochs for sweep cells",
     )
+    parser.add_argument(
+        "--cell_artifacts", action="store_true",
+        help="emit the FULL per-cell artifact bundle at finalize (loss "
+             "plots, sample-inspection triples, perceptual debug panels) "
+             "— everything a standalone run_attack would write; off by "
+             "default since it costs an extra eval pass and S×plots",
+    )
     return parser
 
 
@@ -91,6 +98,59 @@ def _sweep_wer(ids_s: np.ndarray, mask: np.ndarray, refs: list[str]) -> np.ndarr
     return np.asarray([_batch_wer(ids[mask], refs) for ids in ids_s], np.float64)
 
 
+def _inspect_cells(
+    pipe, cfg, params, best_p_s, best_p_dev, clean_eval_step, sweep_eval_full,
+    n_items: int, seed: int = 0,
+):
+    """Per-cell sample-inspection triples on shared random test items.
+
+    The sweep analogue of AttackRunner.inspect_samples (reference:
+    save.py:49-101 per SLURM cell): ONE clean pass + one vmapped
+    perturbed pass per item batch scores every cell's predictions; the
+    clean prediction is cell-independent and shared."""
+    import jax.numpy as jnp
+
+    from paa_tpu.ops import text as text_ops
+
+    split = pipe.test
+    S = int(best_p_dev.shape[0])
+    rng = np.random.default_rng(seed)
+    n = min(n_items, len(split))
+    idx = rng.choice(len(split), size=n, replace=False)
+    zero = jnp.zeros((1, pipe.audio_len), jnp.float32)
+    per_cell = [[] for _ in range(S)]
+    for start in range(0, n, cfg.batch_size):
+        batch = split.collate(idx[start : start + cfg.batch_size], cfg.batch_size)
+        w = np.asarray(batch.weights) > 0
+        clean_m = clean_eval_step(
+            params, zero, batch.audio, batch.labels, batch.label_paddings,
+            batch.weights,
+        )
+        pert_m = sweep_eval_full(
+            params, best_p_dev, batch.audio, batch.labels,
+            batch.label_paddings, batch.weights,
+        )
+        clean_preds = text_ops.decode_batch(np.asarray(clean_m.greedy_ids))
+        ids_s = np.asarray(pert_m.greedy_ids)  # (S, B, frames)
+        audio_np = np.asarray(batch.audio)
+        for i in range(S):
+            pert_preds = text_ops.decode_batch(ids_s[i])
+            p_i = np.asarray(best_p_s[i]).reshape(-1)
+            for j in range(cfg.batch_size):
+                if not w[j]:
+                    continue
+                row = int(batch.indices[j])
+                audio = audio_np[j]
+                per_cell[i].append(dict(
+                    clean=audio,
+                    perturbed=np.clip(audio + p_i[: len(audio)], -1, 1),
+                    ground_truth=split.texts[row],
+                    clean_pred=clean_preds[j].lower(),
+                    pert_pred=pert_preds[j].lower(),
+                ))
+    return per_cell
+
+
 def run_sweep(args) -> dict:
     from paa_tpu.cli import run_attack as run_attack_cli
     from paa_tpu.data import datasets, pipeline as pipeline_lib
@@ -105,9 +165,12 @@ def run_sweep(args) -> dict:
 
     # Shared data + model for every cell (the reference re-downloads and
     # re-loads per job).
+    from paa_tpu.cli.run_attack import _parse_words
+
     samples = datasets.load_dataset_tuples(
         args.dataset, seed=args.seed, data_root=args.data_root,
         small_data=args.small_data, synthetic_samples=args.synthetic_samples,
+        synthetic_words=_parse_words(args.synthetic_words),
     )
     pipe = pipeline_lib.build_pipeline(
         samples, relative_audio_length=args.relative_audio_length,
@@ -157,11 +220,27 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
     tables = psycho.build_tables(cfg)
 
     n_dev = len(jax.devices())
-    n_sweep = S if n_dev % S == 0 and S <= n_dev else 1
-    mesh = mesh_lib.sweep_mesh(n_sweep=n_sweep, n_devices=n_dev)
-    step = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
-    sweep_eval = attack_step.make_sweep_eval_step(cfg, apply_fn, mesh)
-    eval_step = attack_step.make_eval_step(cfg, apply_fn)
+
+    def _build_programs(s_dev: int):
+        """Compiled (train, eval, mesh, n_sweep) for an ``s_dev``-cell
+        sweep. Rebuilt over the surviving cells when most have
+        early-stopped — the vmapped program otherwise keeps paying S full
+        forward/backwards per batch for frozen cells (the mask only
+        no-ops the *update*)."""
+        ns = s_dev if n_dev % s_dev == 0 and s_dev <= n_dev else 1
+        m = mesh_lib.sweep_mesh(n_sweep=ns, n_devices=n_dev)
+        return (
+            attack_step.make_sweep_step(cfg, apply_fn, tables, m),
+            attack_step.make_sweep_eval_step(cfg, apply_fn, m),
+            m,
+            ns,
+        )
+
+    programs = {S: _build_programs(S)}
+    step, sweep_eval, mesh, n_sweep = programs[S]
+    # the clean pass is cell-independent — ONE program, batch sharded
+    # over the mesh's data axis so no chip idles (attack/step.py:170)
+    clean_eval_step = attack_step.make_sharded_eval_step(cfg, apply_fn, mesh)
 
     cell_dirs = [_cell_dir(root, args, cfg, norm_type, s) for s in sizes]
     for d in cell_dirs:
@@ -283,32 +362,36 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             return tgt_labels, tgt_pads
         return batch.labels, batch.label_paddings
 
-    def _evaluate_cells(split, p_cells):
+    def _evaluate_cells(split, p_cells, eval_fn):
         """Per-cell (ctc, wer) on a split — the vmapped analogue of
-        AttackRunner.evaluate (unclamped add; evaluation.py:15-16)."""
+        AttackRunner.evaluate (unclamped add; evaluation.py:15-16).
+        ``p_cells`` may hold any number of cells; ``eval_fn`` must be the
+        matching compiled program."""
+        n_cells = int(p_cells.shape[0])
         pending = []
         for batch in pipeline_lib.prefetch_to_device(split.batches(cfg.batch_size)):
             labels, pads = _labels_for(batch)
-            m = sweep_eval(params, p_cells, batch.audio, labels, pads, batch.weights)
+            m = eval_fn(params, p_cells, batch.audio, labels, pads, batch.weights)
             pending.append((m, np.asarray(batch.weights) > 0, batch.indices))
-        ctc = np.zeros((S,), np.float64)
-        wer = np.zeros((S,), np.float64)
+        ctc = np.zeros((n_cells,), np.float64)
+        wer = np.zeros((n_cells,), np.float64)
         for m, w, indices in pending:
             ctc += np.asarray(m.ctc_loss, np.float64)
             refs = [split.texts[i] for i in np.asarray(indices)[w]]
             wer += _sweep_wer(np.asarray(m.greedy_ids), w, refs)
         if not pending:  # same sentinel as AttackRunner.evaluate
-            return np.full((S,), np.inf), np.full((S,), np.inf)
+            return np.full((n_cells,), np.inf), np.full((n_cells,), np.inf)
         n = len(pending)
         return ctc / n, wer / n
 
     def _evaluate_clean(split):
-        """Clean pass is cell-independent — one unsweeped program."""
+        """Clean pass is cell-independent — one unsweeped program, batch
+        sharded over the mesh's data axis (no idle chips)."""
         ctc_scores, wer_scores = [], []
         zero = jnp.zeros((1, pipe.audio_len), jnp.float32)
         for batch in pipeline_lib.prefetch_to_device(split.batches(cfg.batch_size)):
             labels, pads = _labels_for(batch)
-            m = eval_step(params, zero, batch.audio, labels, pads, batch.weights)
+            m = clean_eval_step(params, zero, batch.audio, labels, pads, batch.weights)
             from paa_tpu.train.loop import _batch_wer
 
             w = np.asarray(batch.weights) > 0
@@ -320,19 +403,48 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         n = len(ctc_scores)
         return sum(ctc_scores) / n, sum(wer_scores) / n
 
+    # -- live-cell device state --------------------------------------------
+    # Device arrays hold only the cells still worth computing; host-side
+    # full-S copies back the checkpoint and best tracking. Once ≤ half
+    # the device cells are still live, the programs are rebuilt over the
+    # survivors — the masked program otherwise keeps paying S full
+    # forward/backwards per batch for frozen cells.
+    p_full = np.array(p_s)
+    opt_full = jax.tree.map(np.array, opt_s)
+    dev_idx = np.arange(S)
+    cparams_dev = cparams_s
+
     # -- epochs ------------------------------------------------------------
     t_start = time.perf_counter()
     n_steps = 0
+    n_cell_steps = 0  # Σ over steps of cells actually TRAINING that step
     for epoch in range(start_epoch, cfg.num_epochs):
         if np.all(no_improve_s >= cfg.early_stopping):
             # resumed from a checkpoint where every cell had already
             # early-stopped: don't train extra epochs, go to finalize
             log.info("[sweep %s] resumed fully early-stopped; finalizing", norm_type)
             break
+        live_mask = no_improve_s < cfg.early_stopping
+        n_live = int(live_mask.sum())
+        if 0 < n_live <= len(dev_idx) // 2:
+            dev_idx = np.where(live_mask)[0]
+            s_dev = len(dev_idx)
+            if s_dev not in programs:
+                programs[s_dev] = _build_programs(s_dev)
+            step, sweep_eval, _, _ = programs[s_dev]
+            p_s = jnp.asarray(p_full[dev_idx])
+            opt_s = jax.tree.map(
+                lambda f: jnp.asarray(np.asarray(f)[dev_idx]), opt_full
+            )
+            cparams_dev = jax.tree.map(lambda x: x[dev_idx], cparams_s)
+            log.info(
+                "[sweep %s] dropping frozen cells: training %d/%d cells from epoch %d",
+                norm_type, s_dev, S, epoch,
+            )
         # batch order is a pure function of (seed, epoch) — resume-exact,
         # matching train/loop.py
         data_rng = np.random.default_rng((cfg.seed, epoch))
-        active = jnp.asarray((no_improve_s < cfg.early_stopping).astype(np.float32))
+        active = jnp.asarray(live_mask[dev_idx].astype(np.float32))
         lr = jnp.float32(optimizers.step_lr(cfg, epoch))
         pending = []
         for batch in pipeline_lib.prefetch_to_device(
@@ -341,25 +453,42 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             labels, pads = _labels_for(batch)
             p_s, opt_s, m = step(
                 params, p_s, opt_s, batch.audio, labels, pads,
-                batch.weights, cparams_s, active, lr,
+                batch.weights, cparams_dev, active, lr,
             )
             pending.append((m, np.asarray(batch.weights) > 0, batch.indices))
             n_steps += 1
+        n_cell_steps += len(pending) * n_live
+        # scatter the trained cells back into the full-S host state
+        p_full[dev_idx] = np.asarray(p_s)
+
+        def _scatter(full, sub):
+            full[dev_idx] = np.asarray(sub)
+            return full
+
+        opt_full = jax.tree.map(_scatter, opt_full, opt_s)
         # train metrics: per-batch sums averaged over batches, the same
-        # aggregation as the single-run loop (train/loop.py:train_epoch)
-        train_ctc = np.zeros((S,), np.float64)
-        train_wer = np.zeros((S,), np.float64)
+        # aggregation as the single-run loop (train/loop.py:train_epoch);
+        # cells not in the device program get NaN (their history past the
+        # stop epoch is never consumed — hist_len_s truncates it)
+        train_ctc = np.full((S,), np.nan)
+        train_wer = np.full((S,), np.nan)
+        tc = np.zeros((len(dev_idx),), np.float64)
+        tw = np.zeros((len(dev_idx),), np.float64)
         for m, w, indices in pending:
-            train_ctc += np.asarray(m.ctc_loss, np.float64)
+            tc += np.asarray(m.ctc_loss, np.float64)
             refs = [pipe.train.texts[i] for i in np.asarray(indices)[w]]
-            train_wer += _sweep_wer(np.asarray(m.greedy_ids), w, refs)
+            tw += _sweep_wer(np.asarray(m.greedy_ids), w, refs)
         nb = max(len(pending), 1)
-        train_ctc /= nb
-        train_wer /= nb
+        train_ctc[dev_idx] = tc / nb
+        train_wer[dev_idx] = tw / nb
 
         if clean_eval is None:
             clean_eval = _evaluate_clean(pipe.eval)
-        pert_ctc, pert_wer = _evaluate_cells(pipe.eval, p_s)
+        pert_ctc = np.full((S,), np.nan)
+        pert_wer = np.full((S,), np.nan)
+        pc, pw = _evaluate_cells(pipe.eval, p_s, sweep_eval)
+        pert_ctc[dev_idx] = pc
+        pert_wer[dev_idx] = pw
 
         history["train_ctc"].append(train_ctc)
         history["train_wer"].append(train_wer)
@@ -367,15 +496,15 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         history["eval_clean_wer"].append(np.full((S,), clean_eval[1]))
         history["eval_pert_ctc"].append(pert_ctc)
         history["eval_pert_wer"].append(pert_wer)
-        hist_len_s[np.asarray(active) > 0] += 1
+        hist_len_s[live_mask] += 1
         log.info(
             "[sweep %s] epoch %d train_ctc=%s eval_pert_ctc=%s eval_pert_wer=%s active=%s",
             norm_type, epoch, train_ctc.round(1), pert_ctc.round(1),
-            pert_wer.round(3), np.asarray(active, np.int32),
+            pert_wer.round(3), live_mask.astype(np.int32),
         )
 
         # per-cell best tracking / early stopping (run_attack.py:149-183)
-        p_host = np.asarray(p_s)
+        p_host = p_full
         wall = time.perf_counter() - t_start
         for i in range(S):
             if no_improve_s[i] >= cfg.early_stopping:
@@ -413,14 +542,14 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
                     "ctc": scoring.best_agg(hist_i["train_ctc"], cfg.attack_mode),
                     "wer": scoring.best_agg(hist_i["train_wer"], cfg.attack_mode),
                 },
-                sweep_steps_per_sec=n_steps * S / wall if wall else None,
+                sweep_steps_per_sec=n_cell_steps / wall if wall else None,
             )
 
         if not os.path.exists(fp_path):
             with open(fp_path, "w") as fh:
                 json.dump(fingerprint, fh)
         checkpoint.save_checkpoint(ckpt_path, {
-            "p_s": p_s, "opt_s": opt_s, "epoch": epoch,
+            "p_s": jnp.asarray(p_full), "opt_s": opt_full, "epoch": epoch,
             "best_score_s": best_score_s, "best_p_s": best_p_s,
             "best_epoch_s": best_epoch_s, "no_improve_s": no_improve_s,
             "hist_len_s": hist_len_s,
@@ -436,8 +565,17 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
 
     # -- finalize: best p per cell on the test split (run_attack.py:185-261)
     best_p_dev = jnp.asarray(best_p_s)
-    test_pert_ctc, test_pert_wer = _evaluate_cells(pipe.test, best_p_dev)
+    sweep_eval_full = programs[S][1]  # all S cells, regardless of drops
+    test_pert_ctc, test_pert_wer = _evaluate_cells(
+        pipe.test, best_p_dev, sweep_eval_full
+    )
     test_clean = _evaluate_clean(pipe.test)
+    inspected = None
+    if getattr(args, "cell_artifacts", False) and args.num_items_to_inspect > 0:
+        inspected = _inspect_cells(
+            pipe, cfg, params, best_p_s, best_p_dev, clean_eval_step,
+            sweep_eval_full, args.num_items_to_inspect,
+        )
     norm_summary = []
     for i, size in enumerate(sizes):
         # only the epochs recorded while the cell trained — frozen-p
@@ -445,6 +583,31 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         L = int(hist_len_s[i])
         hist_i = {k: [float(v[i]) for v in history[k][:L]] for k in history_keys}
         artifacts.save_epoch_bundle(cell_dirs[i], best_p_s[i][0], cfg)
+        if getattr(args, "cell_artifacts", False):
+            # the full per-cell bundle a reference SLURM cell emits from
+            # its own `main` (run_attack.py:61-183, save.py:49-199):
+            # loss/WER curves with test h-lines, sample-inspection
+            # triples, and the perceptual-constraint debug panels
+            artifacts.save_loss_plot(
+                {"ctc": hist_i["train_ctc"], "wer": hist_i["train_wer"]},
+                {"ctc": hist_i["eval_clean_ctc"], "wer": hist_i["eval_clean_wer"]},
+                {"ctc": hist_i["eval_pert_ctc"], "wer": hist_i["eval_pert_wer"]},
+                cell_dirs[i], norm_type,
+                clean_test_loss={"ctc": test_clean[0], "wer": test_clean[1]},
+                perturbed_test_loss={
+                    "ctc": float(test_pert_ctc[i]),
+                    "wer": float(test_pert_wer[i]),
+                },
+            )
+            if inspected is not None:
+                artifacts.inspect_samples(
+                    cell_dirs[i], inspected[i], cfg.attack_mode, cfg.target,
+                    cfg.sr,
+                )
+            cparams_i = jax.tree.map(lambda x: x[i], cparams_s)
+            artifacts.save_debug_plots(
+                cell_dirs[i], best_p_s[i], cfg, cparams_i, tables, tag="final"
+            )
         artifacts.save_json_results(
             cell_dirs[i], norm_type, size,
             epoch=int(best_epoch_s[i]), finished_training=True,
@@ -457,7 +620,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             eval_score_perturbed={"ctc": float(test_pert_ctc[i]), "wer": float(test_pert_wer[i])},
             final_test_clean={"ctc": test_clean[0], "wer": test_clean[1]},
             final_test_perturbed={"ctc": float(test_pert_ctc[i]), "wer": float(test_pert_wer[i])},
-            sweep_steps_per_sec=n_steps * S / wall if wall else None,
+            sweep_steps_per_sec=n_cell_steps / wall if wall else None,
         )
         norm_summary.append({
             "size": float(size),
@@ -478,7 +641,13 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             os.remove(done)
     return {
         "cells": norm_summary,
-        "cell_steps_per_sec": n_steps * S / wall if wall else None,
+        # ACTIVE-cell steps only: frozen (early-stopped) cells are not
+        # live throughput even while the masked program still carries them
+        "cell_steps_per_sec": n_cell_steps / wall if wall else None,
+        "n_cell_steps": n_cell_steps,
+        # cell counts the train program was (re)compiled for — a second
+        # entry < S means the late-sweep drop actually engaged
+        "programs_built": sorted(programs),
         "mesh": f"(sweep={n_sweep}, data={n_dev // n_sweep})",
     }
 

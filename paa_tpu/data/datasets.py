@@ -55,16 +55,26 @@ def _read_wav(path: str) -> tuple[np.ndarray, int]:
 
 
 def _read_flac(path: str) -> tuple[np.ndarray, int]:
-    """FLAC decode via soundfile, gated as an optional import (the
-    upstream LibriSpeech distribution is FLAC; reference decodes it with
-    torchaudio, build.py:118-133)."""
+    """FLAC decode (the upstream LibriSpeech distribution format; the
+    reference decodes it with torchaudio, build.py:118-133).
+
+    Prefers ``soundfile`` (libsndfile) when installed; otherwise the
+    bundled pure-numpy decoder (data/flac.py) covers the stock
+    LibriSpeech subset. Exotic streams outside that subset keep the
+    actionable error gate."""
     try:
         import soundfile as sf
-    except ImportError as e:  # pragma: no cover - env dependent
-        raise RuntimeError(
-            f"Decoding {path!r} requires the optional 'soundfile' package "
-            "(FLAC). Install soundfile, or convert the tree to WAV."
-        ) from e
+    except ImportError:
+        from paa_tpu.data import flac
+
+        try:
+            return flac.read_flac(path)
+        except flac.FlacError as e:
+            raise RuntimeError(
+                f"Could not decode {path!r} with the bundled FLAC decoder "
+                f"({e}). Install 'soundfile' for full-format coverage, or "
+                "convert the tree to WAV."
+            ) from e
     x, sr = sf.read(path, dtype="float32", always_2d=False)
     x = np.asarray(x, dtype=np.float32)
     if x.ndim > 1:
@@ -157,6 +167,7 @@ def load_dataset_tuples(
     data_root: str | None = None,
     small_data: bool = False,
     synthetic_samples: int = 512,
+    synthetic_words: tuple[int, int] | None = None,
 ):
     """Materialize the chosen corpus as a list of (waveform, sr, text).
 
@@ -171,7 +182,10 @@ def load_dataset_tuples(
 
     if dataset == "synthetic":
         n = synthetic_samples if not small_data else max(32, synthetic_samples // 8)
-        samples = list(synthetic.generate_corpus(num_samples=n, seed=seed))
+        words = {}
+        if synthetic_words is not None:
+            words = dict(min_words=synthetic_words[0], max_words=synthetic_words[1])
+        samples = list(synthetic.generate_corpus(num_samples=n, seed=seed, **words))
     elif dataset == "LibreeSpeech":
         samples = _load_librispeech(data_root, target_size, seed)
     elif dataset in ("CommonVoice", "tedlium"):

@@ -102,11 +102,25 @@ def test_load_dataset_tuples_librispeech_end_to_end(librispeech_tree):
     assert all(isinstance(t, str) and len(w) > 0 for (w, _, t) in samples)
 
 
-def test_read_flac_requires_soundfile(tmp_path):
-    """Without the optional soundfile import, FLAC decode fails with a
-    clear gate error (never a bare ImportError mid-pipeline)."""
+def test_synthetic_words_knob_controls_clip_length():
+    """--synthetic_words MIN,MAX sets utterance word counts so synthetic
+    clips can match the production ~10 s shape (used by the on-chip
+    production-shape sweep runs; ~0.46 s/word)."""
+    samples = datasets.load_dataset_tuples(
+        "synthetic", synthetic_samples=8, synthetic_words=(22, 26)
+    )
+    for wav, sr, text in samples:
+        assert 22 <= len(text.split()) <= 26
+        assert 8.0 <= len(wav) / sr <= 13.0
+
+
+def test_read_flac_error_gate_for_undecodable_stream(tmp_path):
+    """Without soundfile, FLAC decodes via the bundled numpy decoder
+    (data/flac.py, round-trip tested in test_flac.py); a stream it can't
+    parse still fails with a clear gate error naming the soundfile
+    escape hatch (never a bare ImportError/parse crash mid-pipeline)."""
     flac = tmp_path / "x.flac"
-    flac.write_bytes(b"fLaC....")
+    flac.write_bytes(b"fLaC....")  # truncated: no valid metadata blocks
     if importlib.util.find_spec("soundfile") is not None:
         pytest.skip("soundfile installed; gate not reachable")
     with pytest.raises(RuntimeError, match="soundfile"):

@@ -47,7 +47,7 @@ def _sweep_args(save_root, **kw):
 @pytest.fixture(scope="module")
 def sweep_summary(tmp_path_factory):
     tmp_path = tmp_path_factory.mktemp("sweep")
-    args = _sweep_args(tmp_path)
+    args = _sweep_args(tmp_path, cell_artifacts=True, num_items_to_inspect=2)
     summary = sweep.run_sweep(args)
     return tmp_path, summary
 
@@ -68,6 +68,25 @@ def test_sweep_writes_summary_and_cells(sweep_summary):
             assert np.isfinite(cell["test_pert_wer"])
             assert np.isfinite(cell["best_eval_pert_ctc"])
             assert cell["best_epoch"] >= 0
+
+
+def test_sweep_cell_artifacts_full_bundle(sweep_summary):
+    """--cell_artifacts: every cell gets the full standalone-run bundle —
+    loss plots and at least one inspected sample triple (reference: each
+    SLURM cell runs full main and emits save.py:49-199's artifacts)."""
+    root, summary = sweep_summary
+    for norm, entry in summary.items():
+        for cell in entry["cells"]:
+            assert os.path.exists(os.path.join(cell["dir"], "loss_plot_ctc.png"))
+            assert os.path.exists(os.path.join(cell["dir"], "loss_plot_wer.png"))
+            sample_dirs = [
+                d for d in os.listdir(cell["dir"])
+                if d.startswith(("sample_", "sus_sample_"))
+            ]
+            assert sample_dirs, f"no inspected samples in {cell['dir']}"
+            d0 = os.path.join(cell["dir"], sorted(sample_dirs)[0])
+            assert os.path.exists(os.path.join(d0, "clean.wav"))
+            assert os.path.exists(os.path.join(d0, "perturbed.wav"))
 
 
 def test_sweep_cells_satisfy_their_epsilons(sweep_summary):
@@ -183,6 +202,53 @@ def test_sweep_resume_is_exact(tmp_path, monkeypatch):
     # resumed metrics stream covers both epochs, no duplicates
     lines = [json.loads(l) for l in open(os.path.join(d2, "metrics.jsonl"))]
     assert [l["epoch"] for l in lines] == [0, 1]
+
+
+def test_sweep_drops_frozen_cells_and_counts_active_steps(tmp_path):
+    """Late-sweep compute drop + honest throughput accounting.
+
+    A cell with linf ε=0 is projected to the zero perturbation every
+    step, so its eval score equals the clean score forever: it improves
+    once (epoch 0, from the -inf sentinel) then early-stops after
+    ``early_stopping`` flat epochs — deterministically. Once it freezes,
+    the sweep must (a) rebuild the train program over the surviving
+    cell(s) instead of paying S forward/backwards per batch, and
+    (b) count only ACTIVE cells in cell-steps/sec."""
+    args = _sweep_args(
+        tmp_path, norms="linf", grid=json.dumps({"linf": [0.0, 1e-2]}),
+        num_epochs=6, early_stopping=2,
+    )
+    summary = sweep.run_sweep(args)
+    entry = summary["linf"]
+    cells = entry["cells"]
+
+    # the ε=0 cell stopped after exactly 1 + early_stopping live epochs
+    dead = [c for c in cells if c["size"] == 0.0][0]
+    lines = open(os.path.join(dead["dir"], "metrics.jsonl")).read().splitlines()
+    assert len(lines) == 3  # epochs 0, 1, 2 — then frozen
+    assert dead["best_epoch"] == 0
+    p_dead = np.load(os.path.join(dead["dir"], "perturbation.npy"))
+    assert np.all(p_dead == 0)
+
+    # a 1-cell program was compiled (the drop engaged)...
+    assert 1 in entry["programs_built"] and 2 in entry["programs_built"]
+
+    # ...and n_cell_steps equals batches/epoch × Σ per-cell live epochs
+    # (each live epoch of a cell leaves exactly one metrics line)
+    from paa_tpu.data import datasets, pipeline as pipeline_lib
+
+    samples = datasets.load_dataset_tuples(
+        "synthetic", seed=args.seed, synthetic_samples=args.synthetic_samples
+    )
+    pipe = pipeline_lib.build_pipeline(samples, seed=args.seed)
+    n_batches = -(-len(pipe.train) // args.batch_size)
+    per_cell_lines = [
+        len(open(os.path.join(c["dir"], "metrics.jsonl")).read().splitlines())
+        for c in cells
+    ]
+    assert entry["n_cell_steps"] == n_batches * sum(per_cell_lines)
+    # strictly fewer than the naive all-epochs × all-cells count
+    assert entry["n_cell_steps"] < n_batches * max(per_cell_lines) * len(cells)
 
 
 def test_sweep_resume_refuses_changed_config(tmp_path, monkeypatch):
