@@ -23,6 +23,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from paa_tpu.attack import optimizers
@@ -216,6 +217,73 @@ def make_sharded_step(
     )
 
 
+def _cell_mask_update(cfg, tables, audio, p, grad, opt_state, cparams, active, lr):
+    """Per-cell optimizer update + projection + early-stop freeze — the
+    cheap (non-model) tail shared by both sweep-step forms."""
+    new_p, new_opt_state = optimizers.apply_update(cfg, p, grad, opt_state, lr)
+    new_p = projections.perturbation_constraint(new_p, audio, cfg, cparams, tables)
+    keep = lambda new, old: jnp.where(active > 0.5, new, old)
+    new_p = keep(new_p, p)
+    new_opt_state = jax.tree.map(keep, new_opt_state, opt_state)
+    return new_p, new_opt_state
+
+
+def _make_multiplexed_sweep_step(cfg, apply_fn, tables, mesh):
+    """Sweep step as S host-dispatched single-cell steps per batch.
+
+    On a mesh that does NOT shard cells across chips they time-share the
+    devices, and every single-program form of the sweep measured FAR
+    worse than sequential single-cell passes (vmapped-whole-model AND a
+    scan over (cell × chunk): ~4.0-4.9 s vs the 1.2-1.35 s ideal at
+    S=5, B=64 — the monolithic program overflows HBM and XLA silently
+    host-offloads buffers; docs/PERF.md round 3). Those forms also paid
+    5-12 MINUTE compiles. Here the sweep reuses the EXACT single-cell
+    program (the one bench.py measures, ~60-90 s compile), dispatching
+    it once per cell per batch from the host — same math as the vmapped
+    form cell-for-cell (parity-tested), full single-run throughput, and
+    the data axis still shards every dispatch across chips.
+
+    Returns a plain Python callable with the jitted sweep-step
+    signature; frozen (active=0) cells are still scored for metrics but
+    keep their state bit-frozen (the driver's late-sweep drop removes
+    long-frozen cells from the state entirely).
+    """
+    if mesh.shape["data"] > 1:
+        inner = make_sharded_step(cfg, apply_fn, tables, mesh)
+    else:
+        inner = make_train_step(cfg, apply_fn, tables)
+
+    def sweep_step(params, p_s, opt_state_s, audio, labels, label_paddings,
+                   weights, cparams_s, active_s, lr):
+        S = int(p_s.shape[0])
+        act = np.asarray(active_s) > 0.5
+        new_p, new_opt, losses, ids = [], [], [], []
+        for i in range(S):
+            # fresh slice buffers per dispatch — ``inner`` donates them
+            p_i = p_s[i]
+            opt_i = jax.tree.map(lambda x: x[i], opt_state_s)
+            cp_i = jax.tree.map(lambda x: x[i], cparams_s)
+            np_i, no_i, m = inner(
+                params, p_i, opt_i, audio, labels, label_paddings,
+                weights, cp_i, lr,
+            )
+            if act[i]:
+                new_p.append(np_i)
+                new_opt.append(no_i)
+            else:  # frozen: metrics computed, state kept (re-slice: the
+                new_p.append(p_s[i])  # dispatched buffers were donated
+                new_opt.append(jax.tree.map(lambda x: x[i], opt_state_s))
+            losses.append(m.ctc_loss)
+            ids.append(m.greedy_ids)
+        return (
+            jnp.stack(new_p),
+            jax.tree.map(lambda *xs: jnp.stack(xs), *new_opt),
+            StepMetrics(ctc_loss=jnp.stack(losses), greedy_ids=jnp.stack(ids)),
+        )
+
+    return sweep_step
+
+
 def make_sweep_step(
     cfg: AttackConfig,
     apply_fn: Callable,
@@ -234,24 +302,34 @@ def make_sweep_step(
     TPU-native replacement for the reference's per-cell SLURM jobs
     (reference: submit_scan_range.py:75-133).
 
+    When the mesh does NOT shard cells across chips (sweep axis size 1 —
+    one chip, or a pure data mesh), the cells time-share their devices
+    anyway; every monolithic form measured far worse than sequential
+    single-cell passes (docs/PERF.md round 3), so the step lowers to
+    :func:`_make_multiplexed_sweep_step` — S host dispatches of the
+    plain single-cell program per batch. Both forms are cell-for-cell
+    compatible (parity-tested).
+
     ``active`` is a per-cell 0/1 float: cells that early-stopped keep
     their perturbation and optimizer state frozen (the sweep equivalent
     of the reference's per-job early stop, run_attack.py:181-183) while
     live cells keep training in the same program.
     """
+    if mesh.shape["sweep"] == 1:
+        return _make_multiplexed_sweep_step(cfg, apply_fn, tables, mesh)
+
     repl = NamedSharding(mesh, P())
     sweep_sh = NamedSharding(mesh, P("sweep"))
     audio_sh = NamedSharding(mesh, P("data"))
 
     def one_cell(params, p, opt_state, cparams, active, audio, labels, label_paddings, weights, lr):
-        new_p, new_opt_state, metrics = _train_update(
-            cfg, apply_fn, tables, params, p, opt_state,
-            audio, labels, label_paddings, weights, cparams, lr,
+        loss, greedy, grad = _grad_and_metrics(
+            p, audio, labels, label_paddings, weights, apply_fn, params, cfg
         )
-        keep = lambda new, old: jnp.where(active > 0.5, new, old)
-        new_p = keep(new_p, p)
-        new_opt_state = jax.tree.map(keep, new_opt_state, opt_state)
-        return new_p, new_opt_state, metrics
+        new_p, new_opt_state = _cell_mask_update(
+            cfg, tables, audio, p, grad, opt_state, cparams, active, lr
+        )
+        return new_p, new_opt_state, StepMetrics(ctc_loss=loss, greedy_ids=greedy)
 
     def sweep_step(params, p_s, opt_state_s, audio, labels, label_paddings, weights, cparams_s, active_s, lr):
         return jax.vmap(
@@ -278,7 +356,29 @@ def make_sweep_eval_step(
 ) -> Callable:
     """Vmapped eval step for a sweep: every cell's perturbation is scored
     against the shared (data-sharded) batch in one program. Preserves the
-    unclamped-add eval asymmetry (reference: evaluation.py:15-16)."""
+    unclamped-add eval asymmetry (reference: evaluation.py:15-16).
+
+    Like :func:`make_sweep_step`, lowers to S host dispatches of the
+    plain (data-sharded) eval program when the mesh does not shard cells
+    across chips — same numbers, no monolithic compile."""
+    if mesh.shape["sweep"] == 1:
+        inner = (
+            make_sharded_eval_step(cfg, apply_fn, mesh)
+            if mesh.shape["data"] > 1 else make_eval_step(cfg, apply_fn)
+        )
+
+        def mux_eval(params, p_s, audio, labels, label_paddings, weights):
+            ms = [
+                inner(params, p_s[i], audio, labels, label_paddings, weights)
+                for i in range(int(p_s.shape[0]))
+            ]
+            return StepMetrics(
+                ctc_loss=jnp.stack([m.ctc_loss for m in ms]),
+                greedy_ids=jnp.stack([m.greedy_ids for m in ms]),
+            )
+
+        return mux_eval
+
     repl = NamedSharding(mesh, P())
     sweep_sh = NamedSharding(mesh, P("sweep"))
     audio_sh = NamedSharding(mesh, P("data"))

@@ -367,6 +367,51 @@ def test_sweep_step_honors_accum_steps(setup):
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
 
 
+def test_multiplexed_sweep_matches_vmapped(setup):
+    """On a mesh whose sweep axis is 1 the sweep step lowers to S
+    host-dispatched single-cell steps (the single-chip schedule fix —
+    monolithic sweep programs overflow HBM and host-offload,
+    docs/PERF.md round 3); it must match the vmapped form on a
+    cell-sharded mesh — same losses, ids, p, opt state — including
+    under accumulation and with a frozen cell."""
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig(
+        norm_type="linf", optimizer_type="adam", lr=5e-3, accum_steps=2
+    )
+    tables = psycho.build_tables(cfg)
+    S = 2
+    epsilons = np.asarray([1e-3, 1e-2], np.float32)
+    base = ConstraintParams.create()
+    cparams_s = jax.tree.map(lambda x: jnp.broadcast_to(x, (S,)), base)
+    cparams_s = cparams_s._replace(linf_size=jnp.asarray(epsilons))
+    rng = np.random.default_rng(3)
+    p0 = jnp.asarray(rng.standard_normal((S, 1, T)).astype(np.float32) * 1e-3)
+    w = jnp.ones((B,), jnp.float32)
+    active = jnp.asarray([1.0, 0.0], jnp.float32)  # one frozen cell
+
+    outs = []
+    for n_sweep in (2, 1):  # vmapped vs folded
+        mesh = mesh_lib.sweep_mesh(n_sweep=n_sweep, n_devices=8)
+        sweep = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
+        opt_s = jax.vmap(lambda p: optimizers.init_opt_state(cfg, p))(p0)
+        p_s, opt_s, m = sweep(
+            params, jnp.array(p0), opt_s, audio, labels, pads, w,
+            cparams_s, active, jnp.float32(cfg.lr),
+        )
+        outs.append((
+            np.asarray(p_s), np.asarray(m.ctc_loss), np.asarray(m.greedy_ids),
+            jax.tree.map(np.asarray, opt_s),
+        ))
+    (p_a, l_a, g_a, o_a), (p_b, l_b, g_b, o_b) = outs
+    np.testing.assert_allclose(p_a, p_b, atol=1e-7)
+    np.testing.assert_allclose(l_a, l_b, rtol=1e-5)
+    np.testing.assert_array_equal(g_a, g_b)
+    # Adam moments see grad-accumulation ROUNDING-order differences
+    # (scatter-add chain vs in-vmap scan); ~1e-6 absolute on f32 moments
+    for x, y in zip(jax.tree.leaves(o_a), jax.tree.leaves(o_b)):
+        np.testing.assert_allclose(x, y, atol=5e-6, rtol=5e-3)
+
+
 def test_step_lr_schedule():
     cfg = AttackConfig(lr=1e-4, gamma=0.9, step_size=2)
     assert optimizers.step_lr(cfg, 0) == pytest.approx(1e-4)
