@@ -334,3 +334,155 @@ def _stream_bps(data: bytes) -> int:
     # bps-1 is the 5 bits spanning byte offsets 12-13 of the body.
     body = data[8 : 8 + 34]
     return (((body[12] & 0x01) << 4) | (body[13] >> 4)) + 1
+
+
+# ---------------------------------------------------------------------------
+# Encoder (16-bit VERBATIM subset)
+#
+# Enough of the format to WRITE valid streams: fixed 4096-sample blocks,
+# independent channels, VERBATIM subframes, real CRC-8/CRC-16 footers —
+# so the output decodes with any compliant decoder (not just ours).
+# Used to materialize stock-format LibriSpeech-layout corpora for
+# end-to-end runs and tests (the reference consumes FLAC LibriSpeech
+# out of the box, reference: src/training_utils/build.py:118-133).
+# ---------------------------------------------------------------------------
+
+_ENC_BLOCK = 4096
+
+
+class _BitWriter:
+    def __init__(self):
+        self._bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        self._bits.extend((value >> (n - 1 - i)) & 1 for i in range(n))
+
+    def write_signed(self, value: int, n: int) -> None:
+        self.write(value & ((1 << n) - 1), n)
+
+    def align(self) -> None:
+        while len(self._bits) % 8:
+            self._bits.append(0)
+
+    def tobytes(self) -> bytes:
+        self.align()
+        return np.packbits(np.asarray(self._bits, dtype=np.uint8)).tobytes()
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask, top = (1 << width) - 1, 1 << (width - 1)
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly if crc & top else crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)  # x^8+x^2+x+1, the frame-header CRC
+_CRC16_TABLE = _crc_table(0x8005, 16)  # x^16+x^15+x^2+1, the frame footer
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
+    return crc
+
+
+def _utf8_frame_number(idx: int) -> bytes:
+    """The frame header's UTF-8-style coded number (frame index here,
+    since we write fixed-blocksize streams)."""
+    if idx < 0x80:
+        return bytes([idx])
+    out = []
+    n_extra = 1
+    while idx >= (1 << (6 - n_extra)) << (6 * n_extra):
+        n_extra += 1
+        if n_extra > 6:
+            raise FlacError("frame index too large to encode")
+    lead_mask = (0xFF << (7 - n_extra)) & 0xFF
+    out.append(lead_mask | (idx >> (6 * n_extra)))
+    for k in range(n_extra - 1, -1, -1):
+        out.append(0x80 | ((idx >> (6 * k)) & 0x3F))
+    return bytes(out)
+
+
+def _encode_frame(pcm: np.ndarray, frame_idx: int) -> bytes:
+    """One fixed-strategy frame of ``(blocksize, channels)`` int16 PCM,
+    independent channels, VERBATIM subframes."""
+    blocksize, channels = pcm.shape
+    hdr = _BitWriter()
+    hdr.write(0b11111111111110, 14)  # sync
+    hdr.write(0, 1)  # reserved
+    hdr.write(0, 1)  # fixed blocksize strategy
+    hdr.write(7, 4)  # blocksize: 16-bit value at end of header
+    hdr.write(0, 4)  # sample rate: from STREAMINFO
+    hdr.write(channels - 1, 4)  # independent channels
+    hdr.write(4, 3)  # 16 bits per sample
+    hdr.write(0, 1)  # reserved
+    header = hdr.tobytes() + _utf8_frame_number(frame_idx)
+    bs = _BitWriter()
+    bs.write(blocksize - 1, 16)
+    header += bs.tobytes()
+    header += bytes([_crc8(header)])
+
+    # The header ends byte-aligned and each 16-bit VERBATIM subframe is a
+    # whole number of bytes, so sample data can be emitted directly as
+    # big-endian int16 after the 1-byte subframe header (0|000001|0).
+    body = b"".join(
+        b"\x02" + pcm[:, c].astype(">i2").tobytes() for c in range(channels)
+    )
+    frame = header + body
+    return frame + _crc16(frame).to_bytes(2, "big")
+
+
+def encode_flac(x: np.ndarray, sample_rate: int) -> bytes:
+    """Encode PCM → a valid 16-bit FLAC byte stream.
+
+    ``x`` is float in [-1, 1] (scaled to int16) or an integer array
+    (used as int16 directly); shape ``(T,)`` or ``(T, channels)``.
+    """
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.floating):
+        pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64)
+    else:
+        pcm = x.astype(np.int64)
+        if pcm.min() < -32768 or pcm.max() > 32767:
+            raise FlacError("integer input exceeds the int16 range")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    total, channels = pcm.shape
+    if not 1 <= channels <= 8:
+        raise FlacError(f"unsupported channel count {channels}")
+    if total == 0:
+        raise FlacError("cannot encode an empty signal")
+
+    si = _BitWriter()
+    si.write(_ENC_BLOCK, 16)  # min blocksize
+    si.write(_ENC_BLOCK, 16)  # max blocksize
+    si.write(0, 24)  # min framesize unknown
+    si.write(0, 24)  # max framesize unknown
+    si.write(sample_rate, 20)
+    si.write(channels - 1, 3)
+    si.write(15, 5)  # bps - 1
+    si.write(total, 36)
+    streaminfo = si.tobytes() + b"\x00" * 16  # md5 unset (optional)
+    out = [b"fLaC", bytes([0x80]), len(streaminfo).to_bytes(3, "big"), streaminfo]
+    for i, start in enumerate(range(0, total, _ENC_BLOCK)):
+        out.append(_encode_frame(pcm[start : start + _ENC_BLOCK], i))
+    return b"".join(out)
+
+
+def write_flac(path: str, x: np.ndarray, sample_rate: int) -> None:
+    """Write ``x`` (same conventions as :func:`encode_flac`) to ``path``."""
+    with open(path, "wb") as f:
+        f.write(encode_flac(x, sample_rate))

@@ -260,3 +260,99 @@ def test_librispeech_tree_with_flac_files(tmp_path):
     assert len(samples) == 3
     for wav, sr, text in samples:
         assert sr == 16000 and wav.shape == (64,) and "hello world" in text.lower()
+
+
+# ---------------------------------------------------------------------------
+# Library encoder (flac.encode_flac / write_flac) — the fixture encoder
+# above is test-local; the library one backs tools/make_librispeech_flac
+# and the stock-corpus end-to-end test below.
+# ---------------------------------------------------------------------------
+
+
+def test_library_encoder_roundtrip_int16():
+    rng = np.random.default_rng(11)
+    # spans two 4096-sample frames plus a partial tail
+    pcm = rng.integers(-32768, 32768, size=9000).astype(np.int64)
+    out, sr = flac.decode_flac(flac.encode_flac(pcm, 16000))
+    assert sr == 16000
+    np.testing.assert_array_equal(out[:, 0], pcm)
+
+
+def test_library_encoder_roundtrip_float_and_stereo():
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-0.9, 0.9, size=(5000, 2)).astype(np.float32)
+    out, sr = flac.decode_flac(flac.encode_flac(x, 22050))
+    assert sr == 22050 and out.shape == (5000, 2)
+    expect = np.clip(np.round(x * 32768.0), -32768, 32767)
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_library_encoder_crc_check_values():
+    """The emitted CRCs are the real ones (poly 0x07 / 0x8005, init 0, no
+    reflection) so external decoders accept the stream — pinned by the
+    standard '123456789' check values."""
+    assert flac._crc8(b"123456789") == 0xF4
+    assert flac._crc16(b"123456789") == 0xFEE8
+
+
+def test_library_encoder_frame_numbers_decode():
+    """Multi-byte UTF-8-coded frame indices survive the round trip (a
+    >128-frame stream exercises the 2-byte coding)."""
+    br = flac._BitReader(flac._utf8_frame_number(0x7F))
+    assert flac._read_utf8_number(br) == 0x7F
+    br = flac._BitReader(flac._utf8_frame_number(200))
+    assert flac._read_utf8_number(br) == 200
+    br = flac._BitReader(flac._utf8_frame_number(70000))
+    assert flac._read_utf8_number(br) == 70000
+
+
+def test_write_flac_read_flac_file_contract(tmp_path):
+    x = (np.sin(np.linspace(0, 40, 4000)) * 0.5).astype(np.float32)
+    path = tmp_path / "tone.flac"
+    flac.write_flac(str(path), x, 16000)
+    y, sr = flac.read_flac(str(path))
+    assert sr == 16000 and y.dtype == np.float32
+    np.testing.assert_allclose(y, np.round(x * 32768.0) / 32768.0, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_stock_flac_corpus_end_to_end(tmp_path):
+    """The full stock-corpus path, end to end: a LibriSpeech-layout FLAC
+    tree (tools/make_librispeech_flac) consumed by the REAL CLI —
+    tree walk → numpy FLAC decode → quantile filter → collate → attack
+    loop → artifact bundle (reference consumes stock FLAC LibriSpeech,
+    build.py:118-133; this is the E3 path with no optional deps)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        from make_librispeech_flac import build_corpus
+    finally:
+        sys.path.pop(0)
+
+    corpus = tmp_path / "ls_flac"
+    n = build_corpus(str(corpus), num_utterances=48, seed=5, min_words=2,
+                     max_words=4)
+    assert n == 48
+
+    from paa_tpu.cli import parser as parser_lib, run_attack as cli
+
+    args = parser_lib.create_arg_parser().parse_args([
+        "--dataset", "LibreeSpeech", "--data_root", str(corpus),
+        "--model", "wav2vec2-tiny", "--batch_size", "8",
+        "--num_epochs", "1", "--optimizer_type", "pgd", "--lr", "5e-3",
+        "--norm_type", "linf", "--linf_size", "1e-2",
+        "--save_root", str(tmp_path / "run"), "--no_resume",
+        "--num_items_to_inspect", "2", "--platform", "cpu",
+    ])
+    assert cli.main(args) == 0
+
+    import json as _json
+    results = None
+    for dirpath, _dirs, files in __import__("os").walk(tmp_path / "run"):
+        if "results.json" in files:
+            results = _json.load(open(f"{dirpath}/results.json"))
+            break
+    assert results is not None and results["finished_training"]
+    assert np.isfinite(results["best_train_score"]["ctc"])
+    assert np.isfinite(results["final_test_perturbed"]["ctc"])
