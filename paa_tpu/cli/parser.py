@@ -118,16 +118,35 @@ def create_arg_parser() -> argparse.ArgumentParser:
                              "fastest at <=10s audio, TPU only); flash = stock "
                              "Pallas flash attention (O(T) memory, for long "
                              "audio; TPU only); xla = dense softmax(QK^T)V")
-    parser.add_argument("--remat", action="store_true",
-                        help="rematerialize encoder layers (less HBM, more FLOPs)")
+    parser.add_argument("--remat", action="store_true", default=None,
+                        help="rematerialize encoder layers (less HBM, more FLOPs). "
+                             "Default: ON on TPU (the measured-fastest config at the "
+                             "production batch, docs/PERF.md), OFF elsewhere")
+    parser.add_argument("--no_remat", action="store_true",
+                        help="disable encoder rematerialization")
+    parser.add_argument("--remat_policy", type=str, default=None,
+                        choices=["full", "save_cheap", "no_probs", "save_resid"],
+                        help="which activations the encoder remat saves across the "
+                             "boundary (default: save_cheap when remat is on — the "
+                             "measured-fastest policy, docs/PERF.md)")
     parser.add_argument("--accum_steps", type=int, default=1,
                         help="split each batch into this many lax.scan microbatches, "
                              "summing perturbation gradients (caps HBM at chunk size; "
                              "numerically identical to the monolithic step). On one "
                              "16 GB chip at batch 64 x 10s audio use 2 for "
                              "wav2vec2-base, 8 for wav2vec2-large-lv60")
-    parser.add_argument("--use_pallas_fm", action="store_true",
-                        help="fused Pallas kernel for the Fletcher-Munson weighted norm")
+    parser.add_argument("--use_pallas_fm", action="store_true", default=None,
+                        help="fused Pallas kernel for the Fletcher-Munson weighted "
+                             "norm (default: ON on TPU, OFF elsewhere)")
+    parser.add_argument("--no_pallas_fm", action="store_true",
+                        help="force the plain-XLA Fletcher-Munson path")
+    parser.add_argument("--device_cache", action="store_true", default=None,
+                        help="stage whole data splits to device HBM and form "
+                             "batches by on-device gather — zero per-step host "
+                             "audio feed. Default: auto (on for single-device "
+                             "TPU when a split stages under 512 MiB)")
+    parser.add_argument("--no_device_cache", action="store_true",
+                        help="always feed batches from the host")
     parser.add_argument("--save_root", type=str, default=None,
                         help="root dir for run artifacts (default: ./logs)")
     parser.add_argument("--synthetic_samples", type=int, default=512,
@@ -149,7 +168,37 @@ def create_arg_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def resolve_perf_defaults(args) -> tuple[bool, str, bool]:
+    """Resolve the tri-state performance flags against the live backend.
+
+    Out-of-the-box CLI runs must land on the MEASURED-fastest config
+    (docs/PERF.md): on TPU that is encoder remat with the ``save_cheap``
+    policy plus the fused Pallas Fletcher-Munson kernel; off-TPU both
+    stay off (remat only costs FLOPs without the HBM pressure, and the
+    Pallas kernel is TPU-only). Explicit flags always win.
+
+    Returns ``(remat, remat_policy, use_pallas_fm)``.
+    """
+    import jax  # deferred: the caller (CLI main) has set the platform
+
+    on_tpu = jax.default_backend() == "tpu"
+    remat = args.remat if args.remat is not None else on_tpu
+    if getattr(args, "no_remat", False):
+        remat = False
+    policy = getattr(args, "remat_policy", None) or (
+        "save_cheap" if remat else "full"
+    )
+    pallas_fm = args.use_pallas_fm if args.use_pallas_fm is not None else on_tpu
+    if getattr(args, "no_pallas_fm", False):
+        pallas_fm = False
+    return remat, policy, pallas_fm
+
+
 def config_from_args(args) -> AttackConfig:
+    remat, _policy, pallas_fm = resolve_perf_defaults(args)
+    device_cache = getattr(args, "device_cache", None)
+    if getattr(args, "no_device_cache", False):
+        device_cache = False
     return AttackConfig(
         norm_type=args.norm_type,
         attack_mode=args.attack_mode,
@@ -170,9 +219,10 @@ def config_from_args(args) -> AttackConfig:
         seed=args.seed,
         model_name=args.model,
         compute_dtype=args.compute_dtype,
-        remat=args.remat,
+        remat=remat,
         accum_steps=args.accum_steps,
-        use_pallas_fm=args.use_pallas_fm,
+        use_pallas_fm=pallas_fm,
+        cache_data_on_device=device_cache,
     )
 
 

@@ -83,10 +83,12 @@ def load_model_bundle(args):
         # clips, dense XLA off-TPU — resolved per traced shape so
         # default-flag runs on long audio degrade instead of erroring
         attention_impl = "auto"
+    remat, remat_policy, _ = parser_lib.resolve_perf_defaults(args)
     mcfg = wav2vec2.get_config(
         args.model,
         compute_dtype=args.compute_dtype,
-        remat=args.remat,
+        remat=remat,
+        remat_policy=remat_policy,
         attention_impl=attention_impl,
         **overrides,
     )

@@ -362,6 +362,20 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             return tgt_labels, tgt_pads
         return batch.labels, batch.label_paddings
 
+    _corpora: dict[int, pipeline_lib.DeviceCorpus | None] = {}
+
+    def _src(split, shuffle_rng=None):
+        """Batch feed honoring cfg.cache_data_on_device (see
+        train/loop.py:AttackRunner._corpus — same staging, sweep-local)."""
+        key = id(split)
+        if key not in _corpora:
+            _corpora[key] = pipeline_lib.maybe_device_corpus(
+                split, cfg.cache_data_on_device
+            )
+        return pipeline_lib.batch_source(
+            split, cfg.batch_size, _corpora[key], shuffle_rng=shuffle_rng
+        )
+
     def _evaluate_cells(split, p_cells, eval_fn):
         """Per-cell (ctc, wer) on a split — the vmapped analogue of
         AttackRunner.evaluate (unclamped add; evaluation.py:15-16).
@@ -369,10 +383,10 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         matching compiled program."""
         n_cells = int(p_cells.shape[0])
         pending = []
-        for batch in pipeline_lib.prefetch_to_device(split.batches(cfg.batch_size)):
+        for batch in _src(split):
             labels, pads = _labels_for(batch)
             m = eval_fn(params, p_cells, batch.audio, labels, pads, batch.weights)
-            pending.append((m, np.asarray(batch.weights) > 0, batch.indices))
+            pending.append((m, pipeline_lib.host_mask(batch), batch.indices))
         ctc = np.zeros((n_cells,), np.float64)
         wer = np.zeros((n_cells,), np.float64)
         for m, w, indices in pending:
@@ -389,12 +403,12 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         sharded over the mesh's data axis (no idle chips)."""
         ctc_scores, wer_scores = [], []
         zero = jnp.zeros((1, pipe.audio_len), jnp.float32)
-        for batch in pipeline_lib.prefetch_to_device(split.batches(cfg.batch_size)):
+        for batch in _src(split):
             labels, pads = _labels_for(batch)
             m = clean_eval_step(params, zero, batch.audio, labels, pads, batch.weights)
             from paa_tpu.train.loop import _batch_wer
 
-            w = np.asarray(batch.weights) > 0
+            w = pipeline_lib.host_mask(batch)
             ctc_scores.append(float(m.ctc_loss))
             refs = [split.texts[i] for i in np.asarray(batch.indices)[w]]
             wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], refs))
@@ -447,15 +461,13 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         active = jnp.asarray(live_mask[dev_idx].astype(np.float32))
         lr = jnp.float32(optimizers.step_lr(cfg, epoch))
         pending = []
-        for batch in pipeline_lib.prefetch_to_device(
-            pipe.train.batches(cfg.batch_size, shuffle_rng=data_rng)
-        ):
+        for batch in _src(pipe.train, shuffle_rng=data_rng):
             labels, pads = _labels_for(batch)
             p_s, opt_s, m = step(
                 params, p_s, opt_s, batch.audio, labels, pads,
                 batch.weights, cparams_dev, active, lr,
             )
-            pending.append((m, np.asarray(batch.weights) > 0, batch.indices))
+            pending.append((m, pipeline_lib.host_mask(batch), batch.indices))
             n_steps += 1
         n_cell_steps += len(pending) * n_live
         # scatter the trained cells back into the full-S host state

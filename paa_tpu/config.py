@@ -96,6 +96,11 @@ class AttackConfig:
     # either way
     use_pallas_fm: bool = False
 
+    # stage whole splits to device HBM and form batches by on-device
+    # gather (data/pipeline.py:DeviceCorpus). None = auto: single-device
+    # TPU and the split stages under 512 MiB. True forces, False disables.
+    cache_data_on_device: bool | None = None
+
     def __post_init__(self):
         if self.norm_type not in NORM_TYPES:
             raise ValueError(f"Unknown norm_type: {self.norm_type!r}")

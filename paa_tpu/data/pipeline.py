@@ -23,6 +23,7 @@ import dataclasses
 from typing import Iterator, NamedTuple, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from paa_tpu.ops import text as text_ops
@@ -34,6 +35,19 @@ class Batch(NamedTuple):
     label_paddings: np.ndarray  # (B, L) float32
     weights: np.ndarray  # (B,) float32 — 0.0 on padding rows
     indices: np.ndarray  # (B,) int32 — row index into the split (−1 pad)
+    # set by prefetch_to_device: the original HOST weights, so hot loops
+    # can build row masks without a device→host readback (one readback
+    # per step costs a full round trip — ~0.8 s on a tunneled TPU — and
+    # serializes the async dispatch pipeline)
+    host_weights: np.ndarray | None = None
+
+
+def host_mask(batch: Batch) -> np.ndarray:
+    """Boolean valid-row mask from the host-side weights copy (falls back
+    to the ``weights`` field for batches that never went through
+    ``prefetch_to_device``). Never syncs a device array in a hot loop."""
+    w = batch.host_weights if batch.host_weights is not None else batch.weights
+    return np.asarray(w) > 0
 
 
 @dataclasses.dataclass
@@ -202,6 +216,104 @@ def build_pipeline(
     )
 
 
+class DeviceCorpus:
+    """A split staged to device HBM once; batches form via on-device gather.
+
+    Steady-state training then moves only a ``(B,)`` int32 row vector per
+    step instead of the full ``(B, T)`` audio — the TPU-native answer to
+    the reference's DataLoader feed (reference: build.py:211-213). This
+    matters doubly on remote/tunneled chips, where per-batch host→device
+    copies are bandwidth-bound (measured ~0.9 s per 37 MB batch over the
+    dev tunnel vs 241 ms of step compute, docs/PERF.md).
+
+    Padding rows of a short final batch gather row 0 with weight 0 — the
+    step's loss and all metrics are weight-masked, so they contribute
+    nothing (attack/step.py:58).
+    """
+
+    def __init__(self, split: "Split"):
+        N, T = len(split), split.audio_len
+        audio = np.zeros((N, T), dtype=np.float32)
+        for i, w in enumerate(split.waveforms):
+            n = min(len(w), T)
+            audio[i, :n] = w[:n]
+        self.audio = jax.device_put(audio)
+        self.labels = jax.device_put(split.labels)
+        self.label_paddings = jax.device_put(split.label_paddings)
+        self.split = split
+
+    @staticmethod
+    def nbytes(split: "Split") -> int:
+        return (
+            len(split) * split.audio_len * 4
+            + split.labels.nbytes
+            + split.label_paddings.nbytes
+        )
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle_rng: np.random.Generator | None = None,
+        drop_remainder: bool = False,
+    ) -> Iterator[Batch]:
+        order = np.arange(len(self.split))
+        if shuffle_rng is not None:
+            shuffle_rng.shuffle(order)
+        for start in range(0, len(order), batch_size):
+            chunk = order[start : start + batch_size]
+            if len(chunk) < batch_size and drop_remainder:
+                return
+            rows = np.full((batch_size,), -1, dtype=np.int32)
+            rows[: len(chunk)] = chunk
+            host_w = (rows >= 0).astype(np.float32)
+            audio, labels, pads, weights = _gather_rows(
+                self.audio, self.labels, self.label_paddings, jnp.asarray(rows)
+            )
+            yield Batch(audio, labels, pads, weights, rows, host_w)
+
+
+@jax.jit
+def _gather_rows(audio, labels, pads, rows):
+    safe = jnp.maximum(rows, 0)
+    w = (rows >= 0).astype(jnp.float32)
+    return audio[safe], labels[safe], pads[safe], w
+
+
+_DEVICE_CACHE_AUTO_LIMIT = 512 << 20  # bytes per split
+
+
+def maybe_device_corpus(split: "Split", enable: bool | None) -> DeviceCorpus | None:
+    """Resolve the device-cache tri-state for one split.
+
+    ``None`` (auto) enables on a single-device TPU backend when the split
+    stages under 512 MiB — small enough to sit beside the production-batch
+    program's working set; the reference-scale 30k-clip corpora (~19 GB)
+    stay on the host feed. Explicit True/False always wins (True stages
+    regardless of size — the caller asked for it).
+    """
+    if enable is False:
+        return None
+    if enable is None:
+        if jax.default_backend() != "tpu" or jax.device_count() != 1:
+            return None
+        if DeviceCorpus.nbytes(split) > _DEVICE_CACHE_AUTO_LIMIT:
+            return None
+    return DeviceCorpus(split)
+
+
+def batch_source(
+    split: "Split",
+    batch_size: int,
+    corpus: DeviceCorpus | None,
+    shuffle_rng: np.random.Generator | None = None,
+) -> Iterator[Batch]:
+    """Device-gather batches when a corpus is staged, else host collate +
+    prefetch — one call site for both feeds."""
+    if corpus is not None:
+        return corpus.batches(batch_size, shuffle_rng=shuffle_rng)
+    return prefetch_to_device(split.batches(batch_size, shuffle_rng=shuffle_rng))
+
+
 def prefetch_to_device(iterator: Iterator[Batch], size: int = 2) -> Iterator[Batch]:
     """Move batches to device ``size`` steps ahead of consumption.
 
@@ -213,7 +325,15 @@ def prefetch_to_device(iterator: Iterator[Batch], size: int = 2) -> Iterator[Bat
 
     queue = collections.deque()
     for batch in iterator:
-        queue.append(jax.device_put(batch))
+        # Only the fields the compiled step consumes go to the device;
+        # ``indices`` stays host-side (it is pure bookkeeping) and the
+        # original weights are kept as ``host_weights`` so per-step row
+        # masks never read back from the device (see host_mask).
+        audio, labels, pads, weights = jax.device_put(
+            (batch.audio, batch.labels, batch.label_paddings, batch.weights)
+        )
+        queue.append(Batch(audio, labels, pads, weights,
+                           batch.indices, batch.weights))
         if len(queue) >= size:
             yield queue.popleft()
     while queue:

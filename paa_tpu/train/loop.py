@@ -142,6 +142,8 @@ class AttackRunner:
             self.train_step = attack_step.make_train_step(cfg, apply_fn, self.tables)
             self.eval_step = attack_step.make_eval_step(cfg, apply_fn)
 
+        self._corpora: dict[int, pipeline_lib.DeviceCorpus | None] = {}
+
         L = pipe.train.labels.shape[1]
         if cfg.attack_mode == "targeted":
             tl, tp = _targeted_labels(cfg, cfg.batch_size, L, audio_len=pipe.audio_len)
@@ -170,17 +172,33 @@ class AttackRunner:
 
     # -- epochs ------------------------------------------------------------
 
+    def _corpus(self, split) -> pipeline_lib.DeviceCorpus | None:
+        """Lazily stage a split to device HBM (cfg.cache_data_on_device)."""
+        key = id(split)
+        if key not in self._corpora:
+            c = pipeline_lib.maybe_device_corpus(split, self.cfg.cache_data_on_device)
+            if c is not None:
+                logger.info(
+                    "staged split to device HBM: %d clips, %.0f MB — batches "
+                    "now form by on-device gather",
+                    len(split), pipeline_lib.DeviceCorpus.nbytes(split) / 1e6,
+                )
+            self._corpora[key] = c
+        return self._corpora[key]
+
     def train_epoch(self, p, opt_state, epoch: int, shuffle_rng) -> tuple:
         cfg = self.cfg
         lr = jnp.float32(optimizers.step_lr(cfg, epoch))
-        batches = self.pipe.train.batches(cfg.batch_size, shuffle_rng=shuffle_rng)
         # Steps are dispatched back-to-back; metrics stay as device arrays
         # until the epoch ends (a per-batch float()/np.asarray() would
         # sync the host into every step and stall the dispatch pipeline).
         pending = []
         t0 = time.perf_counter()
         n_steps = 0
-        for batch in pipeline_lib.prefetch_to_device(batches):
+        for batch in pipeline_lib.batch_source(
+            self.pipe.train, cfg.batch_size, self._corpus(self.pipe.train),
+            shuffle_rng=shuffle_rng,
+        ):
             labels, pads = batch.labels, batch.label_paddings
             if cfg.attack_mode == "targeted":
                 labels, pads = self._tgt_labels, self._tgt_pads
@@ -188,7 +206,7 @@ class AttackRunner:
                 self.model_params, p, opt_state, batch.audio, labels, pads,
                 batch.weights, self.cparams, lr,
             )
-            pending.append((m, np.asarray(batch.weights) > 0, batch.indices))
+            pending.append((m, pipeline_lib.host_mask(batch), batch.indices))
             n_steps += 1
         # force a device→host scalar before reading the clock: plain
         # block_until_ready is unreliable on the tunneled axon platform
@@ -213,14 +231,16 @@ class AttackRunner:
         cfg = self.cfg
         p_eff = p if perturbed else jnp.zeros_like(p)
         pending = []
-        for batch in pipeline_lib.prefetch_to_device(split.batches(cfg.batch_size)):
+        for batch in pipeline_lib.batch_source(
+            split, cfg.batch_size, self._corpus(split)
+        ):
             labels, pads = batch.labels, batch.label_paddings
             if cfg.attack_mode == "targeted":
                 labels, pads = self._tgt_labels, self._tgt_pads
             m = self.eval_step(
                 self.model_params, p_eff, batch.audio, labels, pads, batch.weights
             )
-            pending.append((m, np.asarray(batch.weights) > 0, batch.indices))
+            pending.append((m, pipeline_lib.host_mask(batch), batch.indices))
         # reference averages per-batch sums (smaller final batch
         # contributes its smaller sum) — reproduce exactly; metrics are
         # materialized only after every step is dispatched

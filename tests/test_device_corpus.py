@@ -1,0 +1,132 @@
+"""Device-resident corpus cache (data/pipeline.py:DeviceCorpus).
+
+The cache stages a whole split to device HBM once and forms batches by
+on-device gather, so steady-state training moves only a (B,) int32 row
+vector per step instead of (B, T) audio — the TPU-native replacement for
+the reference's per-batch DataLoader feed (reference: build.py:211-213).
+These tests pin the gather feed to the host-collate feed bit-for-bit and
+the tri-state resolution logic.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from paa_tpu.attack import optimizers
+from paa_tpu.config import AttackConfig, ConstraintParams
+from paa_tpu.data import datasets, pipeline as pipeline_lib
+from paa_tpu.models import wav2vec2
+from paa_tpu.train import loop
+
+
+@pytest.fixture(scope="module")
+def split():
+    samples = datasets.load_dataset_tuples("synthetic", synthetic_samples=36)
+    pipe = pipeline_lib.build_pipeline(samples, seed=5)
+    return pipe.train
+
+
+def test_device_batches_match_host_collate(split):
+    """Every field of every batch (incl. the padded final one) matches the
+    host path; padding rows carry weight 0 so their gathered row-0 audio is
+    masked out of the loss."""
+    corpus = pipeline_lib.DeviceCorpus(split)
+    B = 8
+    host = list(split.batches(B))
+    dev = list(corpus.batches(B))
+    assert len(host) == len(dev) and len(split) % B != 0  # exercises padding
+    for hb, db in zip(host, dev):
+        # padding rows differ by design: host collate zeroes them, the
+        # device gather reuses row 0 — both carry weight 0, which is what
+        # the step's loss/metrics mask on. Compare valid rows only.
+        v = pipeline_lib.host_mask(hb)
+        np.testing.assert_array_equal(hb.audio[v], np.asarray(db.audio)[v])
+        np.testing.assert_array_equal(hb.labels[v], np.asarray(db.labels)[v])
+        np.testing.assert_array_equal(
+            hb.label_paddings[v], np.asarray(db.label_paddings)[v]
+        )
+        np.testing.assert_array_equal(hb.weights, np.asarray(db.weights))
+        np.testing.assert_array_equal(hb.indices, db.indices)
+        # host-side mask never needs a device sync
+        assert isinstance(db.host_weights, np.ndarray)
+        np.testing.assert_array_equal(
+            pipeline_lib.host_mask(db), pipeline_lib.host_mask(hb)
+        )
+
+
+def test_device_batches_shuffle_matches_host(split):
+    """Same shuffle_rng seed -> same batch order in both feeds."""
+    corpus = pipeline_lib.DeviceCorpus(split)
+    host = list(split.batches(8, shuffle_rng=np.random.default_rng(3)))
+    dev = list(corpus.batches(8, shuffle_rng=np.random.default_rng(3)))
+    for hb, db in zip(host, dev):
+        np.testing.assert_array_equal(hb.indices, db.indices)
+        v = pipeline_lib.host_mask(hb)
+        np.testing.assert_array_equal(hb.audio[v], np.asarray(db.audio)[v])
+
+
+def test_maybe_device_corpus_tristate(split):
+    # explicit off
+    assert pipeline_lib.maybe_device_corpus(split, False) is None
+    # auto: CPU backend -> host feed (cache only pays off on TPU)
+    assert jax.default_backend() == "cpu"
+    assert pipeline_lib.maybe_device_corpus(split, None) is None
+    # explicit on wins regardless of backend
+    corpus = pipeline_lib.maybe_device_corpus(split, True)
+    assert isinstance(corpus, pipeline_lib.DeviceCorpus)
+
+
+def test_batch_source_dispatch(split):
+    corpus = pipeline_lib.DeviceCorpus(split)
+    via_corpus = list(pipeline_lib.batch_source(split, 8, corpus))
+    via_host = list(pipeline_lib.batch_source(split, 8, None))
+    assert len(via_corpus) == len(via_host)
+    for cb, hb in zip(via_corpus, via_host):
+        v = pipeline_lib.host_mask(hb)
+        np.testing.assert_array_equal(
+            np.asarray(cb.audio)[v], np.asarray(hb.audio)[v]
+        )
+
+
+def test_host_mask_prefetch_no_device_weights(split):
+    """prefetch_to_device keeps a host copy of the weights; host_mask must
+    use it (reading the device array back per step costs a full tunnel
+    round trip on remote TPUs)."""
+    b = next(pipeline_lib.prefetch_to_device(split.batches(8)))
+    assert isinstance(b.host_weights, np.ndarray)
+    m = pipeline_lib.host_mask(b)
+    assert m.dtype == np.bool_ and m.all()
+
+
+def test_train_epoch_identical_with_and_without_cache():
+    """One full epoch through AttackRunner with the cache forced on equals
+    the host-feed epoch bit-for-bit (same p, same metrics)."""
+    mcfg = wav2vec2.get_config("wav2vec2-tiny")
+    params = wav2vec2.init_params(mcfg, example_len=4000)
+    model = wav2vec2.Wav2Vec2ForCTC(mcfg)
+    apply_fn = lambda prm, audio: model.apply({"params": prm}, audio)
+    samples = datasets.load_dataset_tuples("synthetic", synthetic_samples=36)
+    pipe = pipeline_lib.build_pipeline(samples, seed=5)
+
+    results = []
+    for cache in (False, True):
+        cfg = AttackConfig(
+            norm_type="linf", optimizer_type="pgd", lr=5e-3, batch_size=8,
+            num_epochs=1, seed=5, model_name="wav2vec2-tiny",
+            cache_data_on_device=cache,
+        )
+        runner = loop.AttackRunner(
+            cfg, apply_fn, params, pipe,
+            cparams=ConstraintParams.create(linf_size=0.02), use_mesh=False,
+        )
+        p = runner.init_perturbation(seed=5)
+        opt = optimizers.init_opt_state(cfg, p)
+        p, opt, scores, _ = runner.train_epoch(
+            p, opt, 0, shuffle_rng=np.random.default_rng(7)
+        )
+        ev = runner.evaluate(pipe.eval, p, perturbed=True)
+        results.append((np.asarray(p), scores.ctc, ev.ctc, ev.wer))
+
+    (p0, tc0, ec0, ew0), (p1, tc1, ec1, ew1) = results
+    np.testing.assert_array_equal(p0, p1)
+    assert tc0 == tc1 and ec0 == ec1 and ew0 == ew1
