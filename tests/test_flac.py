@@ -356,3 +356,182 @@ def test_stock_flac_corpus_end_to_end(tmp_path):
     assert results is not None and results["finished_training"]
     assert np.isfinite(results["best_train_score"]["ctc"])
     assert np.isfinite(results["final_test_perturbed"]["ctc"])
+
+
+# -- native C decoder parity (native/flacdec.c) -----------------------------
+
+
+def _native_or_skip():
+    lib = flac._load_native()
+    if lib is None:
+        pytest.skip("native FLAC decoder unavailable (no C toolchain)")
+    return lib
+
+
+def _parity_streams():
+    """One stream per subset feature, built with the fixture writers."""
+    rng = np.random.default_rng(11)
+    streams = {}
+
+    x = _mono(rng.integers(-32768, 32768, size=200))
+    streams["verbatim"] = _stream(
+        16000, 16, x, [_frame(200, 1, [lambda w: _subframe_verbatim(w, x, 16)])]
+    )
+    c = _mono([-1234] * 96)
+    streams["constant"] = _stream(
+        8000, 16, c, [_frame(96, 1, [lambda w: _subframe_constant(w, -1234, 16)])]
+    )
+    for order in range(5):
+        xs = _mono(np.cumsum(rng.integers(-50, 50, size=160)))
+        streams[f"fixed{order}"] = _stream(
+            16000, 16, xs,
+            [_frame(160, 1, [lambda w, xs=xs, o=order: _subframe_fixed(w, xs, o, 16)])],
+        )
+    xe = _mono(rng.integers(-2000, 2000, size=128))
+    streams["escape"] = _stream(
+        16000, 16, xe,
+        [_frame(128, 1,
+                [lambda w: _subframe_fixed(w, xe, 1, 16, escape_raw=14)])],
+    )
+    t = np.arange(256)
+    xl = _mono(np.round(9000 * np.sin(2 * np.pi * 5 * t / 256)))
+    streams["lpc"] = _stream(
+        16000, 16, xl,
+        [_frame(256, 1,
+                [lambda w: _subframe_lpc(w, xl, [3172, -1606], 11, 14, 16)])],
+    )
+    x3 = _mono(rng.integers(-30000, 30000, size=300))
+    streams["multiframe"] = _stream(
+        16000, 16, x3,
+        [_frame(128, 1, [lambda w: _subframe_verbatim(w, x3[:128], 16)], 0),
+         _frame(128, 1, [lambda w: _subframe_verbatim(w, x3[128:256], 16)], 1),
+         _frame(44, 1, [lambda w: _subframe_verbatim(w, x3[256:], 16)], 2)],
+    )
+    x2 = rng.integers(-32768, 32768, size=(80, 2)).astype(np.int64)
+    streams["stereo_indep"] = _stream(
+        16000, 16, x2,
+        [_frame(80, 2,
+                [lambda w: _subframe_verbatim(w, x2[:, 0], 16),
+                 lambda w: _subframe_verbatim(w, x2[:, 1], 16)])],
+    )
+    # library-encoder stream (real CRCs, 4096 blocks, UTF-8 frame numbers)
+    wav = (rng.standard_normal(9000) * 0.2).clip(-1, 1).astype(np.float32)
+    streams["encoder"] = flac.encode_flac(wav, 16000)
+    return streams
+
+
+@pytest.mark.parametrize("name", [
+    "verbatim", "constant", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4",
+    "escape", "lpc", "multiframe", "stereo_indep", "encoder",
+])
+def test_native_decoder_matches_python(name):
+    """The C kernel reproduces the Python decoder bit-for-bit on every
+    subset feature (the Python path is the behavioral oracle)."""
+    lib = _native_or_skip()
+    stream = _parity_streams()[name]
+    want_pcm, want_sr = flac.decode_flac_py(stream)
+    got = flac._native_call(lib, stream)
+    assert got is not None, "native decoder rejected a supported stream"
+    got_pcm, got_sr = got
+    assert got_sr == want_sr
+    np.testing.assert_array_equal(got_pcm, want_pcm)
+
+
+def test_native_decoder_rejects_bad_stream_falls_back():
+    """Unsupported/corrupt input: native returns an error code and
+    decode_flac falls through to the Python decoder's FlacError."""
+    lib = _native_or_skip()
+    assert flac._native_call(lib, b"fLaC" + b"\x00" * 16) is None
+    with pytest.raises(flac.FlacError):
+        flac.decode_flac(b"fLaC" + b"\x00" * 16)
+
+
+# -- stereo decorrelation + wasted bits (previously fixture-less paths) -----
+
+
+def _frame_assign(blocksize, ch_assign, subframe_writers, frame_idx=0) -> bytes:
+    """Like _frame but with an explicit channel-assignment code
+    (8=left/side, 9=right/side, 10=mid/side)."""
+    w = BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(7, 4)
+    w.write(0, 4)
+    w.write(ch_assign, 4)
+    w.write(0, 3)
+    w.write(0, 1)
+    w.write(frame_idx, 8)
+    w.write(blocksize - 1, 16)
+    w.write(0, 8)
+    for sub in subframe_writers:
+        sub(w)
+    w.align()
+    w.write(0, 16)
+    return w.tobytes()
+
+
+def _subframe_verbatim_wasted(w, x, bps, wasted):
+    """VERBATIM subframe with ``wasted`` wasted bits: stores x >> wasted
+    at bps - wasted and the decoder shifts back."""
+    w.write(0, 1)
+    w.write(1, 6)
+    w.write(1, 1)  # wasted-bits flag
+    w.write_unary(wasted - 1)
+    for v in x:
+        assert int(v) % (1 << wasted) == 0
+        w.write_signed(int(v) >> wasted, bps - wasted)
+
+
+def _stereo_cases():
+    rng = np.random.default_rng(21)
+    l = rng.integers(-16000, 16000, size=120).astype(np.int64)
+    r = rng.integers(-16000, 16000, size=120).astype(np.int64)
+    side = l - r
+    mid = (l + r) >> 1
+    pcm = np.stack([l, r], axis=1)
+    cases = {
+        "left_side": _frame_assign(120, 8, [
+            lambda w: _subframe_verbatim(w, l, 16),
+            lambda w: _subframe_verbatim(w, side, 17),
+        ]),
+        "right_side": _frame_assign(120, 9, [
+            lambda w: _subframe_verbatim(w, side, 17),
+            lambda w: _subframe_verbatim(w, r, 16),
+        ]),
+        "mid_side": _frame_assign(120, 10, [
+            lambda w: _subframe_verbatim(w, mid, 16),
+            lambda w: _subframe_verbatim(w, side, 17),
+        ]),
+    }
+    return pcm, cases
+
+
+@pytest.mark.parametrize("mode", ["left_side", "right_side", "mid_side"])
+def test_stereo_decorrelation_roundtrip(mode):
+    pcm, cases = _stereo_cases()
+    out, sr = flac.decode_flac_py(_stream(16000, 16, pcm, [cases[mode]]))
+    assert sr == 16000
+    np.testing.assert_array_equal(out, pcm)
+
+
+@pytest.mark.parametrize("mode", ["left_side", "right_side", "mid_side"])
+def test_stereo_decorrelation_native_parity(mode):
+    lib = _native_or_skip()
+    pcm, cases = _stereo_cases()
+    stream = _stream(16000, 16, pcm, [cases[mode]])
+    got = flac._native_call(lib, stream)
+    assert got is not None
+    np.testing.assert_array_equal(got[0], pcm)
+
+
+def test_wasted_bits_roundtrip_and_native_parity():
+    x = _mono(np.arange(-48, 48) * 8)  # divisible by 2^3
+    frame = _frame(96, 1, [lambda w: _subframe_verbatim_wasted(w, x, 16, 3)])
+    stream = _stream(16000, 16, x, [frame])
+    out, _ = flac.decode_flac_py(stream)
+    np.testing.assert_array_equal(out[:, 0], x)
+    lib = _native_or_skip()
+    got = flac._native_call(lib, stream)
+    assert got is not None
+    np.testing.assert_array_equal(got[0][:, 0], x)

@@ -272,3 +272,23 @@ def test_sweep_resume_refuses_changed_config(tmp_path, monkeypatch):
     )
     summary = sweep.run_sweep(args)
     assert summary["linf"]["cells"][0]["size"] == 1e-3
+
+
+def test_sweep_identical_with_device_cache(tmp_path):
+    """The sweep's batch feed honors cfg.cache_data_on_device: forcing the
+    on-device gather feed reproduces the host-feed sweep bit-for-bit
+    (same per-cell final/best metrics)."""
+    outs = []
+    for flag in ("no_device_cache", "device_cache"):
+        root = tmp_path / flag
+        args = _sweep_args(
+            root, norms="linf", grid=json.dumps({"linf": [1e-3, 1e-2]}),
+            **{flag: True},
+        )
+        outs.append(sweep.run_sweep(args))
+    off, on = outs
+    for c_off, c_on in zip(off["linf"]["cells"], on["linf"]["cells"]):
+        assert c_off["size"] == c_on["size"]
+        assert c_off["final_ctc"] == c_on["final_ctc"]
+        assert c_off["best_eval_pert_ctc"] == c_on["best_eval_pert_ctc"]
+        assert c_off["test_pert_wer"] == c_on["test_pert_wer"]
