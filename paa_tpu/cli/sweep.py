@@ -366,11 +366,14 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
 
     def _src(split, shuffle_rng=None):
         """Batch feed honoring cfg.cache_data_on_device (see
-        train/loop.py:AttackRunner._corpus — same staging, sweep-local)."""
+        train/loop.py:AttackRunner._corpus — same staging, sweep-local).
+        Corpus rows shard over the initial mesh's data axis; if the
+        sweep program is later rebuilt over fewer cells, jit reshards
+        the gathered batches to the new program's shardings."""
         key = id(split)
         if key not in _corpora:
             _corpora[key] = pipeline_lib.maybe_device_corpus(
-                split, cfg.cache_data_on_device
+                split, cfg.cache_data_on_device, mesh=mesh
             )
         return pipeline_lib.batch_source(
             split, cfg.batch_size, _corpora[key], shuffle_rng=shuffle_rng

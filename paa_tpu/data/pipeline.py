@@ -223,23 +223,58 @@ class DeviceCorpus:
     step instead of the full ``(B, T)`` audio — the TPU-native answer to
     the reference's DataLoader feed (reference: build.py:211-213). This
     matters doubly on remote/tunneled chips, where per-batch host→device
-    copies are bandwidth-bound (measured ~0.9 s per 37 MB batch over the
-    dev tunnel vs 241 ms of step compute, docs/PERF.md).
+    copies are bandwidth-bound (measured 1175 → 348 ms/step end-to-end,
+    docs/PERF.md).
+
+    With a ``mesh``, the corpus rows are SHARDED over the mesh's ``data``
+    axis (each chip holds N/n_data rows) and the jitted gather emits
+    batches already sharded along the batch dimension — XLA turns the
+    row lookup into ICI collective gathers, keeping the per-step feed
+    entirely on-device for multi-chip runs too.
 
     Padding rows of a short final batch gather row 0 with weight 0 — the
     step's loss and all metrics are weight-masked, so they contribute
     nothing (attack/step.py:58).
     """
 
-    def __init__(self, split: "Split"):
+    def __init__(self, split: "Split", mesh=None):
         N, T = len(split), split.audio_len
-        audio = np.zeros((N, T), dtype=np.float32)
+        n_pad = 0
+        if mesh is not None:
+            # pad the row dimension to the data-axis size so P("data")
+            # divides evenly; padding rows are never gathered (row
+            # indices stay < N)
+            n_data = mesh.shape["data"]
+            n_pad = (-N) % n_data
+        audio = np.zeros((N + n_pad, T), dtype=np.float32)
         for i, w in enumerate(split.waveforms):
             n = min(len(w), T)
             audio[i, :n] = w[:n]
-        self.audio = jax.device_put(audio)
-        self.labels = jax.device_put(split.labels)
-        self.label_paddings = jax.device_put(split.label_paddings)
+        labels = split.labels
+        pads = split.label_paddings
+        if n_pad:
+            labels = np.concatenate([labels, np.zeros((n_pad,) + labels.shape[1:], labels.dtype)])
+            pads = np.concatenate([pads, np.ones((n_pad,) + pads.shape[1:], pads.dtype)])
+        if mesh is None:
+            put = jax.device_put
+            self._gather = _gather_rows
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            corpus_sh = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            batch_sh = NamedSharding(mesh, P("data"))
+            put = lambda x: jax.device_put(x, corpus_sh)
+            self._gather = jax.jit(
+                _gather_rows_fn,
+                in_shardings=(corpus_sh, corpus_sh, corpus_sh, repl),
+                out_shardings=(batch_sh, batch_sh, batch_sh, batch_sh),
+            )
+            self._rows_sharding = repl
+        self.mesh = mesh
+        self.audio = put(audio)
+        self.labels = put(labels)
+        self.label_paddings = put(pads)
         self.split = split
 
     @staticmethod
@@ -266,39 +301,51 @@ class DeviceCorpus:
             rows = np.full((batch_size,), -1, dtype=np.int32)
             rows[: len(chunk)] = chunk
             host_w = (rows >= 0).astype(np.float32)
-            audio, labels, pads, weights = _gather_rows(
-                self.audio, self.labels, self.label_paddings, jnp.asarray(rows)
+            dev_rows = jnp.asarray(rows)
+            if self.mesh is not None:
+                dev_rows = jax.device_put(dev_rows, self._rows_sharding)
+            audio, labels, pads, weights = self._gather(
+                self.audio, self.labels, self.label_paddings, dev_rows
             )
             yield Batch(audio, labels, pads, weights, rows, host_w)
 
 
-@jax.jit
-def _gather_rows(audio, labels, pads, rows):
+def _gather_rows_fn(audio, labels, pads, rows):
     safe = jnp.maximum(rows, 0)
     w = (rows >= 0).astype(jnp.float32)
     return audio[safe], labels[safe], pads[safe], w
 
 
+_gather_rows = jax.jit(_gather_rows_fn)
+
+
 _DEVICE_CACHE_AUTO_LIMIT = 512 << 20  # bytes per split
 
 
-def maybe_device_corpus(split: "Split", enable: bool | None) -> DeviceCorpus | None:
+def maybe_device_corpus(
+    split: "Split", enable: bool | None, mesh=None
+) -> DeviceCorpus | None:
     """Resolve the device-cache tri-state for one split.
 
-    ``None`` (auto) enables on a single-device TPU backend when the split
-    stages under 512 MiB — small enough to sit beside the production-batch
-    program's working set; the reference-scale 30k-clip corpora (~19 GB)
-    stay on the host feed. Explicit True/False always wins (True stages
-    regardless of size — the caller asked for it).
+    ``None`` (auto) enables on a TPU backend when the split's PER-DEVICE
+    share stages under 512 MiB — small enough to sit beside the
+    production-batch program's working set; the reference-scale 30k-clip
+    corpora (~19 GB) stay on the host feed. With a ``mesh`` the corpus is
+    sharded over its ``data`` axis (see :class:`DeviceCorpus`), so the
+    budget scales with the mesh. Explicit True/False always wins (True
+    stages regardless of size — the caller asked for it).
     """
     if enable is False:
         return None
     if enable is None:
-        if jax.default_backend() != "tpu" or jax.device_count() != 1:
+        if jax.default_backend() != "tpu":
             return None
-        if DeviceCorpus.nbytes(split) > _DEVICE_CACHE_AUTO_LIMIT:
+        if mesh is None and jax.device_count() != 1:
             return None
-    return DeviceCorpus(split)
+        n_data = mesh.shape["data"] if mesh is not None else 1
+        if DeviceCorpus.nbytes(split) > _DEVICE_CACHE_AUTO_LIMIT * n_data:
+            return None
+    return DeviceCorpus(split, mesh=mesh)
 
 
 def batch_source(

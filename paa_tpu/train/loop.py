@@ -129,8 +129,10 @@ class AttackRunner:
         self.tables = psycho.build_tables(cfg)
         self.model_params = model_params
         n_dev = len(jax.devices())
+        self.mesh = None
         if use_mesh and n_dev > 1 and cfg.batch_size % n_dev == 0:
             mesh = mesh_lib.data_mesh()
+            self.mesh = mesh
             self.train_step = attack_step.make_sharded_step(
                 cfg, apply_fn, self.tables, mesh
             )
@@ -173,10 +175,13 @@ class AttackRunner:
     # -- epochs ------------------------------------------------------------
 
     def _corpus(self, split) -> pipeline_lib.DeviceCorpus | None:
-        """Lazily stage a split to device HBM (cfg.cache_data_on_device)."""
+        """Lazily stage a split to device HBM (cfg.cache_data_on_device);
+        on a mesh the corpus rows shard over the data axis."""
         key = id(split)
         if key not in self._corpora:
-            c = pipeline_lib.maybe_device_corpus(split, self.cfg.cache_data_on_device)
+            c = pipeline_lib.maybe_device_corpus(
+                split, self.cfg.cache_data_on_device, mesh=self.mesh
+            )
             if c is not None:
                 logger.info(
                     "staged split to device HBM: %d clips, %.0f MB — batches "

@@ -130,3 +130,63 @@ def test_train_epoch_identical_with_and_without_cache():
     (p0, tc0, ec0, ew0), (p1, tc1, ec1, ew1) = results
     np.testing.assert_array_equal(p0, p1)
     assert tc0 == tc1 and ec0 == ec1 and ew0 == ew1
+
+
+# -- mesh-sharded staging ---------------------------------------------------
+
+
+def test_sharded_corpus_matches_host_collate(split):
+    """Corpus rows sharded over the mesh's data axis (with row padding to
+    divide the axis); gathered batches equal the host feed on valid rows
+    and come out sharded along the batch dimension."""
+    from paa_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.data_mesh()
+    assert len(split) % mesh.shape["data"] != 0  # exercises row padding
+    corpus = pipeline_lib.DeviceCorpus(split, mesh=mesh)
+    host = list(split.batches(8))
+    dev = list(corpus.batches(8))
+    assert len(host) == len(dev)
+    for hb, db in zip(host, dev):
+        v = pipeline_lib.host_mask(hb)
+        np.testing.assert_array_equal(hb.audio[v], np.asarray(db.audio)[v])
+        np.testing.assert_array_equal(hb.labels[v], np.asarray(db.labels)[v])
+        np.testing.assert_array_equal(hb.weights, np.asarray(db.weights))
+    # batches are device-sharded along batch dim over the data axis
+    shard_shapes = {s.data.shape for s in dev[0].audio.addressable_shards}
+    assert shard_shapes == {(1, split.audio_len)}
+
+
+def test_sharded_train_epoch_identical_with_cache():
+    """AttackRunner on the 8-device mesh: forced device cache reproduces
+    the host-feed epoch (same p, same metrics) through the sharded step."""
+    mcfg = wav2vec2.get_config("wav2vec2-tiny")
+    params = wav2vec2.init_params(mcfg, example_len=4000)
+    model = wav2vec2.Wav2Vec2ForCTC(mcfg)
+    apply_fn = lambda prm, audio: model.apply({"params": prm}, audio)
+    samples = datasets.load_dataset_tuples("synthetic", synthetic_samples=36)
+    pipe = pipeline_lib.build_pipeline(samples, seed=5)
+
+    results = []
+    for cache in (False, True):
+        cfg = AttackConfig(
+            norm_type="l2", optimizer_type="adam", lr=5e-3, batch_size=8,
+            num_epochs=1, seed=5, model_name="wav2vec2-tiny",
+            cache_data_on_device=cache,
+        )
+        runner = loop.AttackRunner(
+            cfg, apply_fn, params, pipe,
+            cparams=ConstraintParams.create(l2_size=0.5), use_mesh=True,
+        )
+        assert runner.mesh is not None  # 8-device CPU mesh in tests
+        p = runner.init_perturbation(seed=5)
+        opt = optimizers.init_opt_state(cfg, p)
+        p, opt, scores, _ = runner.train_epoch(
+            p, opt, 0, shuffle_rng=np.random.default_rng(7)
+        )
+        ev = runner.evaluate(pipe.eval, p, perturbed=True)
+        results.append((np.asarray(p), scores.ctc, ev.ctc, ev.wer))
+
+    (p0, tc0, ec0, ew0), (p1, tc1, ec1, ew1) = results
+    np.testing.assert_array_equal(p0, p1)
+    assert tc0 == tc1 and ec0 == ec1 and ew0 == ew1
