@@ -32,6 +32,7 @@ right-shift; clips are seconds long so this stays well under a second).
 
 from __future__ import annotations
 
+import base64
 import ctypes
 import logging
 import os
@@ -284,18 +285,84 @@ def _native_call(lib, data: bytes):
     return arr, int(rate.value)
 
 
+# Golden parity streams for the native-kernel self-test: one stream per
+# subset feature the C decoder implements (FIXED+Rice, LPC, escape
+# partitions, the three stereo decorrelation modes, wasted bits, and a
+# multiframe CONSTANT/VERBATIM mix). Generated once with the byte-exact
+# fixture writers in tests/test_flac.py; decode_flac_py is the oracle at
+# check time, so the constant pins only the ENCODED bytes, not expected
+# PCM. A VERBATIM-only probe (encode_flac emits nothing else) would let a
+# stale cached .so with a broken LPC/Rice/stereo path pass the self-test.
+_GOLDEN_PARITY_B64 = (
+    "AAAAaGZMYUOAAAAiEAAQAAAAAAAAAAPoAPAAAAAwAAAAAAAAAAAAAAAAAAAAAP/4cAAAAC8AFAAj"
+    "AC0BMEhEhgH2zEwewAIh4UA6BoDYwMAjbIWDICwL2pydw87HvTYGATLgUA6AgVD+wAAAAAAEKGZM"
+    "YUOAAAAiEAAQAAAAAAAAAAPoAPAAAABAAAAAAAAAAAAAAAAAAAAAAP/4cAAAAD8AQgAACjXVmMnN"
+    "0AgAAAAAAAAAAAAAAAAAAAJAAAAAAAAAAAAAAAAAAAAAAAAAAOAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAGgAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAeAAAAAAAAAAAAAAAAAAAAAAAAAAAAAACwAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAKAAAAAAAAAAAAAAAAAAAABIAAAAAAAAAAAALAAADwAAAAATAAAAAAAAA"
+    "AAAAAFwAAAAAAAAAAAAAAAAAAAAAFQAAAAAAAAAAAAAAAAAAAAAAAAAAAVAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAVAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABEAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "IgAAAAAAAAAAAAAAAAAAAAAAAATAAAAAAAAAAAAAAAAAARAAAAAAAAAC4iAAAAAAAAHAAAAAAAAA"
+    "AAAAAAAACAAAAAAAAAAAAAAAAAAAAAAAABQAAAAAAAAAAAAAAAAAAAAAAAAAAAAAgAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAGgAAAAAAAAAAAAAAAAAAAAAAAAAAAAAADgAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAABoAAAAAAAAAAAAAAAAAAAAAAHgAAAAAAAAAAAAAABQAAAAAANAADYAAAAAAAAAAAVAAAAAA"
+    "AAAAAAAAAAAAAD4AAAAAAAAAAAAAAAAAAAAAAAAADIAAAAAAAAAAAAAAAAAAAAAAAAAAAAABcAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAGwAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAmAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAACIAAAAAAAAAAAAAAAAAAAA+AAAAAAAAAAAAEwAABsAAAAALAAAAAAAAAAAAAADQAA"
+    "AAAAAAAAAAAAAAAAAAADAAAAAAAAAAAAAAAAAAAAAAAAAAAAMAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAMAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAoAAAAAAAAAAAAAAAAAAAAAAAAAAAAAFAAAAAAAA"
+    "AAAAAAAAAAAAAAAAALAAAAAAAAAAAAAAAAAAKAAAAAAAAABoUAAAAAAAADIAAAAAAAAAAAAAAAAD"
+    "oAAAAAAAAAAAAAAAAAAAAAAABEAAAAAAAAAAAAAAAAAAAAAAAAAAAAB0AAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAALgAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAGQAAAAAAAAAAAAAAAAAAAAAAAAAAAC4AA"
+    "AAAAAAAAAAAAAAAAAAAANgAAAAAAAAAAAAAACIAAAAAAXAAAAAAAcGZMYUOAAAAiEAAQAAAAAAAA"
+    "AAPoAPAAAAAgAAAAAAAAAAAAAAAAAAAAAP/4cAAAAB8AEv8jA93M2DUC6o49wPirINn9E+e/oiCR"
+    "+EIc18Ve+JdPhVAqoL6YR91gXvqtkEPUGDvcNRMwGpes3AWAAAAAAAC6ZkxhQ4AAACIQABAAAAAA"
+    "AAAAA+gC8AAAACAAAAAAAAAAAAAAAAAAAAAA//hwgAAAHwACBDni8zocL4rYxwE5NvgrZBn9EXbG"
+    "wx44/LDM7+APBSQcWQD4Dh4uahdA7qgR5wxFzwfI6BQF8fQMSunh3bTURgIJg+7aSM+j6c563xWI"
+    "iOIgJRDHARV5saDPn7Zm24dN7jDLClKCG4P75O+CecfrZ9JEPq/tYmObu3LhWUJOx1GkNNntOQAA"
+    "AAAAumZMYUOAAAAiEAAQAAAAAAAAAAPoAvAAAAAgAAAAAAAAAAAAAAAAAAAAAP/4cJAAAB8AAgmD"
+    "7tpIz6PpznrfFYiI4iAlEMcBFXmxoM+ftmbbh03uMMsKUoIbg/vk74J5x+tn0kQ+r+1iY5u7cuFZ"
+    "Qk7HUaQ02e05AvEyJ4rzn/DuCWw71/KHCz/4bw0h+TYRPwXkFg45GNRZB7T4iu4/33LICPPPKMXN"
+    "lvRDOno4btxgwnIVeMNI5w0AAAAAALpmTGFDgAAAIhAAEAAAAAAAAAAD6ALwAAAAIAAAAAAAAAAA"
+    "AAAAAAAAAAD/+HCgAAAfAAL6tQU+Ft0QPPEZHogUvxtRCTYPS9/8F7sBSvF+DJPsvhIG/MH+Lgbu"
+    "76TxOx1W7O3hpQGxJjnnKude/6zQft2pAgmD7tpIz6PpznrfFYiI4iAlEMcBFXmxoM+ftmbbh03u"
+    "MMsKUoIbg/vk74J5x+tn0kQ+r+1iY5u7cuFZQk7HUaQ02e05AAAAAABqZkxhQ4AAACIQABAAAAAA"
+    "AAAAA+gA8AAAACAAAAAAAAAAAAAAAAAAAAAA//hwAAAAHwADP/D/j/y/5/9P+v/b/v/4/8/+v/f/"
+    "z/7/+//gAAAIAIAGAEACgBgA4AgASAKAFgDABoA4AeAAAAAAAGJmTGFDgAAAIhAAEAAAAAAAAAAD"
+    "6ADwAAAAMAAAAAAAAAAAAAAAAAAAAAD/+HAAAAAfAAD/swAA//hwAAEADwAC//0Bdv5oAKIAIf6P"
+    "AVkBWf/uAbwAagGTAcwARf8k/p0AAA=="
+)
+
+
+def _golden_parity_streams() -> list[bytes]:
+    blob = base64.b64decode(_GOLDEN_PARITY_B64)
+    streams, off = [], 0
+    while off < len(blob):
+        n = int.from_bytes(blob[off : off + 4], "big")
+        off += 4
+        streams.append(blob[off : off + n])
+        off += n
+    return streams
+
+
 def _self_test(lib) -> bool:
-    """The native decoder must reproduce the Python decoder on a stream
-    our own encoder wrote (an mtime check cannot prove a cached .so
-    matches the current flacdec.c)."""
+    """The native decoder must reproduce the Python decoder on every
+    subset feature (an mtime check cannot prove a cached .so matches the
+    current flacdec.c). Probes: an encode_flac stream (real CRC framing,
+    VERBATIM) plus the golden streams above (FIXED/LPC/Rice-escape/
+    stereo/wasted-bits/multiframe — the paths real LibriSpeech uses)."""
     ramp = (np.arange(-500, 500, dtype=np.int16) * 7).astype(np.int16)
-    stream = encode_flac(ramp, 16000)
-    want, want_sr = decode_flac_py(stream)
-    got = _native_call(lib, stream)
-    if got is None:
-        return False
-    arr, sr = got
-    return sr == want_sr and arr.shape == want.shape and bool((arr == want).all())
+    for stream in [encode_flac(ramp, 16000), *_golden_parity_streams()]:
+        want, want_sr = decode_flac_py(stream)
+        got = _native_call(lib, stream)
+        if got is None:
+            return False
+        arr, sr = got
+        if not (
+            sr == want_sr and arr.shape == want.shape and bool((arr == want).all())
+        ):
+            return False
+    return True
 
 
 def _load_native():
@@ -305,13 +372,20 @@ def _load_native():
     _lib_tried = True
     try:
         needs_build = not os.path.exists(_SO_PATH) or (
-            os.path.getmtime(_SO_PATH) < os.path.getmtime(_C_SOURCE)
+            os.path.exists(_C_SOURCE)
+            and os.path.getmtime(_SO_PATH) < os.path.getmtime(_C_SOURCE)
         )
         if needs_build:
             _build_so()
-        lib = _open_so()
-        if not _self_test(lib):
-            logger.warning("stale native FLAC decoder; rebuilding from source")
+        # A cached/committed .so can fail at CDLL time (other arch/libc) or
+        # at self-test time (stale vs flacdec.c) — both get one rebuild.
+        try:
+            lib = _open_so()
+            ok = _self_test(lib)
+        except OSError:
+            lib, ok = None, False
+        if not ok:
+            logger.warning("cached native FLAC decoder unusable; rebuilding")
             _build_so()
             lib = _open_so()
             if not _self_test(lib):

@@ -9,6 +9,10 @@ encode → decode_flac and asserts bit-exact recovery — the property that
 defines a correct lossless decoder.
 """
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 
@@ -535,3 +539,72 @@ def test_wasted_bits_roundtrip_and_native_parity():
     got = flac._native_call(lib, stream)
     assert got is not None
     np.testing.assert_array_equal(got[0][:, 0], x)
+
+
+# -- native loader resilience (cached/committed .so gone bad) ----------------
+
+
+def _reset_native_loader():
+    flac._lib = None
+    flac._lib_tried = False
+
+
+def test_corrupt_cached_so_triggers_rebuild(tmp_path):
+    """A committed/cached _flacdec.so that cannot even be dlopen'd (wrong
+    arch, truncated) must be rebuilt from source, not silently abandoned
+    for the ~200x-slower numpy path. Runs in a subprocess: this process
+    may already have the good library mapped, and the corruption must be
+    swapped in via a NEW inode (os.replace) so that mapping stays valid."""
+    _native_or_skip()
+    good = open(flac._SO_PATH, "rb").read()
+    try:
+        bad = os.path.join(os.path.dirname(flac._SO_PATH), "_flacdec.bad")
+        with open(bad, "wb") as f:
+            f.write(b"\x7fELF garbage, not a shared object")
+        os.replace(bad, flac._SO_PATH)
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "from paa_tpu.data import flac\n"
+             "lib = flac._load_native()\n"
+             "assert lib is not None, 'loader gave up instead of rebuilding'\n"
+             "assert flac._self_test(lib)\n"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert proc.returncode == 0, proc.stderr
+    finally:
+        tmp = flac._SO_PATH + ".orig"
+        with open(tmp, "wb") as f:
+            f.write(good)
+        os.replace(tmp, flac._SO_PATH)
+
+
+def test_self_test_covers_non_verbatim_paths():
+    """The self-test probes every subset feature, not just the VERBATIM
+    frames our own encoder emits — a stale kernel with a broken LPC or
+    Rice path must fail it."""
+    streams = flac._golden_parity_streams()
+    assert len(streams) >= 8
+    # decode each with the oracle; collectively they must exercise FIXED,
+    # LPC, stereo decorrelation (2-channel), and multiframe streams
+    shapes = [flac.decode_flac_py(s)[0].shape for s in streams]
+    assert any(c == 2 for (_, c) in shapes), "no stereo probe"
+    assert any(c == 1 for (_, c) in shapes), "no mono probe"
+
+    class _RejectsEverything:
+        pass
+
+    bad = _RejectsEverything()
+    # a kernel that rejects any golden stream fails the self-test
+    orig = flac._native_call
+    try:
+        calls = {"n": 0}
+
+        def fake_call(lib, data):
+            calls["n"] += 1
+            # pass the encoder probe, reject the first golden stream
+            return orig(flac._load_native(), data) if calls["n"] == 1 else None
+
+        flac._native_call = fake_call
+        assert not flac._self_test(bad)
+    finally:
+        flac._native_call = orig
