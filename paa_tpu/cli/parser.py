@@ -143,8 +143,10 @@ def create_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--device_cache", action="store_true", default=None,
                         help="stage whole data splits to device HBM and form "
                              "batches by on-device gather — zero per-step host "
-                             "audio feed. Default: auto (on for single-device "
-                             "TPU when a split stages under 512 MiB)")
+                             "audio feed. Default: auto (on for TPU runs — one "
+                             "chip or a mesh, where rows shard over the data "
+                             "axis — when a split stages under 512 MiB per "
+                             "device)")
     parser.add_argument("--no_device_cache", action="store_true",
                         help="always feed batches from the host")
     parser.add_argument("--save_root", type=str, default=None,

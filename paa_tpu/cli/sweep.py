@@ -362,22 +362,14 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             return tgt_labels, tgt_pads
         return batch.labels, batch.label_paddings
 
-    _corpora: dict[int, pipeline_lib.DeviceCorpus | None] = {}
+    # Batch feed honoring cfg.cache_data_on_device (pipeline.CorpusCache,
+    # shared with AttackRunner). Corpus rows shard over the initial mesh's
+    # data axis; if the sweep program is later rebuilt over fewer cells,
+    # jit reshards the gathered batches to the new program's shardings.
+    _cache = pipeline_lib.CorpusCache(cfg.cache_data_on_device, mesh=mesh)
 
     def _src(split, shuffle_rng=None):
-        """Batch feed honoring cfg.cache_data_on_device (see
-        train/loop.py:AttackRunner._corpus — same staging, sweep-local).
-        Corpus rows shard over the initial mesh's data axis; if the
-        sweep program is later rebuilt over fewer cells, jit reshards
-        the gathered batches to the new program's shardings."""
-        key = id(split)
-        if key not in _corpora:
-            _corpora[key] = pipeline_lib.maybe_device_corpus(
-                split, cfg.cache_data_on_device, mesh=mesh
-            )
-        return pipeline_lib.batch_source(
-            split, cfg.batch_size, _corpora[key], shuffle_rng=shuffle_rng
-        )
+        return _cache.batches(split, cfg.batch_size, shuffle_rng=shuffle_rng)
 
     def _evaluate_cells(split, p_cells, eval_fn):
         """Per-cell (ctc, wer) on a split — the vmapped analogue of

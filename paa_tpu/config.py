@@ -97,8 +97,10 @@ class AttackConfig:
     use_pallas_fm: bool = False
 
     # stage whole splits to device HBM and form batches by on-device
-    # gather (data/pipeline.py:DeviceCorpus). None = auto: single-device
-    # TPU and the split stages under 512 MiB. True forces, False disables.
+    # gather (data/pipeline.py:DeviceCorpus). None = auto: on TPU when
+    # the split's PER-DEVICE share stages under 512 MiB — a lone chip, or
+    # any mesh run (rows shard over the data axis, so the budget scales
+    # with it). True forces, False disables.
     cache_data_on_device: bool | None = None
 
     def __post_init__(self):

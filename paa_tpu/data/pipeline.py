@@ -20,6 +20,7 @@ TPU-first additions:
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Iterator, NamedTuple, Sequence
 
 import jax
@@ -27,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from paa_tpu.ops import text as text_ops
+
+logger = logging.getLogger(__name__)
 
 
 class Batch(NamedTuple):
@@ -88,18 +91,36 @@ class Split:
         shuffle_rng: np.random.Generator | None = None,
         drop_remainder: bool = False,
     ) -> Iterator[Batch]:
-        order = np.arange(len(self))
-        if shuffle_rng is not None:
-            shuffle_rng.shuffle(order)
-        for start in range(0, len(order), batch_size):
-            chunk = order[start : start + batch_size]
-            if len(chunk) < batch_size and drop_remainder:
-                return
-            yield self.collate(chunk, batch_size)
+        for rows in _batch_rows(len(self), batch_size, shuffle_rng, drop_remainder):
+            yield self.collate(rows[rows >= 0], batch_size)
 
     def num_batches(self, batch_size: int, drop_remainder: bool = False) -> int:
         n = len(self)
         return n // batch_size if drop_remainder else -(-n // batch_size)
+
+
+def _batch_rows(
+    n: int,
+    batch_size: int,
+    shuffle_rng: np.random.Generator | None = None,
+    drop_remainder: bool = False,
+) -> Iterator[np.ndarray]:
+    """Yield ``(batch_size,)`` int32 row vectors (−1 = padding row) over a
+    length-``n`` split. The ONE source of order/shuffle/remainder
+    semantics for both feeds — the host collate (:meth:`Split.batches`)
+    and the device gather (:meth:`DeviceCorpus.batches`) must stay
+    bit-identical, since the tri-state auto switch silently picks either
+    per backend/split size and runs are compared across them."""
+    order = np.arange(n)
+    if shuffle_rng is not None:
+        shuffle_rng.shuffle(order)
+    for start in range(0, n, batch_size):
+        chunk = order[start : start + batch_size]
+        if len(chunk) < batch_size and drop_remainder:
+            return
+        rows = np.full((batch_size,), -1, dtype=np.int32)
+        rows[: len(chunk)] = chunk
+        yield rows
 
 
 class DataPipeline(NamedTuple):
@@ -291,15 +312,9 @@ class DeviceCorpus:
         shuffle_rng: np.random.Generator | None = None,
         drop_remainder: bool = False,
     ) -> Iterator[Batch]:
-        order = np.arange(len(self.split))
-        if shuffle_rng is not None:
-            shuffle_rng.shuffle(order)
-        for start in range(0, len(order), batch_size):
-            chunk = order[start : start + batch_size]
-            if len(chunk) < batch_size and drop_remainder:
-                return
-            rows = np.full((batch_size,), -1, dtype=np.int32)
-            rows[: len(chunk)] = chunk
+        for rows in _batch_rows(
+            len(self.split), batch_size, shuffle_rng, drop_remainder
+        ):
             host_w = (rows >= 0).astype(np.float32)
             dev_rows = jnp.asarray(rows)
             if self.mesh is not None:
@@ -359,6 +374,42 @@ def batch_source(
     if corpus is not None:
         return corpus.batches(batch_size, shuffle_rng=shuffle_rng)
     return prefetch_to_device(split.batches(batch_size, shuffle_rng=shuffle_rng))
+
+
+class CorpusCache:
+    """Lazy per-split device staging under the ``cache_data_on_device``
+    tri-state, keyed by split identity — the ONE home for the idiom the
+    single-run loop (train/loop.py:AttackRunner) and the sweep driver
+    (cli/sweep.py) both need, so staging policy and logging cannot
+    drift between them."""
+
+    def __init__(self, enable: bool | None, mesh=None):
+        self._enable = enable
+        self._mesh = mesh
+        self._corpora: dict[int, DeviceCorpus | None] = {}
+
+    def corpus(self, split: "Split") -> DeviceCorpus | None:
+        key = id(split)
+        if key not in self._corpora:
+            c = maybe_device_corpus(split, self._enable, mesh=self._mesh)
+            if c is not None:
+                logger.info(
+                    "staged split to device HBM: %d clips, %.0f MB — batches "
+                    "now form by on-device gather",
+                    len(split), DeviceCorpus.nbytes(split) / 1e6,
+                )
+            self._corpora[key] = c
+        return self._corpora[key]
+
+    def batches(
+        self,
+        split: "Split",
+        batch_size: int,
+        shuffle_rng: np.random.Generator | None = None,
+    ) -> Iterator[Batch]:
+        return batch_source(
+            split, batch_size, self.corpus(split), shuffle_rng=shuffle_rng
+        )
 
 
 def prefetch_to_device(iterator: Iterator[Batch], size: int = 2) -> Iterator[Batch]:

@@ -144,7 +144,11 @@ class AttackRunner:
             self.train_step = attack_step.make_train_step(cfg, apply_fn, self.tables)
             self.eval_step = attack_step.make_eval_step(cfg, apply_fn)
 
-        self._corpora: dict[int, pipeline_lib.DeviceCorpus | None] = {}
+        # lazy device staging of splits (cfg.cache_data_on_device); on a
+        # mesh the corpus rows shard over the data axis
+        self._corpus_cache = pipeline_lib.CorpusCache(
+            cfg.cache_data_on_device, mesh=self.mesh
+        )
 
         L = pipe.train.labels.shape[1]
         if cfg.attack_mode == "targeted":
@@ -174,23 +178,6 @@ class AttackRunner:
 
     # -- epochs ------------------------------------------------------------
 
-    def _corpus(self, split) -> pipeline_lib.DeviceCorpus | None:
-        """Lazily stage a split to device HBM (cfg.cache_data_on_device);
-        on a mesh the corpus rows shard over the data axis."""
-        key = id(split)
-        if key not in self._corpora:
-            c = pipeline_lib.maybe_device_corpus(
-                split, self.cfg.cache_data_on_device, mesh=self.mesh
-            )
-            if c is not None:
-                logger.info(
-                    "staged split to device HBM: %d clips, %.0f MB — batches "
-                    "now form by on-device gather",
-                    len(split), pipeline_lib.DeviceCorpus.nbytes(split) / 1e6,
-                )
-            self._corpora[key] = c
-        return self._corpora[key]
-
     def train_epoch(self, p, opt_state, epoch: int, shuffle_rng) -> tuple:
         cfg = self.cfg
         lr = jnp.float32(optimizers.step_lr(cfg, epoch))
@@ -200,9 +187,8 @@ class AttackRunner:
         pending = []
         t0 = time.perf_counter()
         n_steps = 0
-        for batch in pipeline_lib.batch_source(
-            self.pipe.train, cfg.batch_size, self._corpus(self.pipe.train),
-            shuffle_rng=shuffle_rng,
+        for batch in self._corpus_cache.batches(
+            self.pipe.train, cfg.batch_size, shuffle_rng=shuffle_rng
         ):
             labels, pads = batch.labels, batch.label_paddings
             if cfg.attack_mode == "targeted":
@@ -236,9 +222,7 @@ class AttackRunner:
         cfg = self.cfg
         p_eff = p if perturbed else jnp.zeros_like(p)
         pending = []
-        for batch in pipeline_lib.batch_source(
-            split, cfg.batch_size, self._corpus(split)
-        ):
+        for batch in self._corpus_cache.batches(split, cfg.batch_size):
             labels, pads = batch.labels, batch.label_paddings
             if cfg.attack_mode == "targeted":
                 labels, pads = self._tgt_labels, self._tgt_pads
