@@ -245,8 +245,11 @@ def _make_multiplexed_sweep_step(cfg, apply_fn, tables, mesh):
 
     Returns a plain Python callable with the jitted sweep-step
     signature; frozen (active=0) cells are still scored for metrics but
-    keep their state bit-frozen (the driver's late-sweep drop removes
-    long-frozen cells from the state entirely).
+    keep their state bit-frozen — the vmapped-form contract. In practice
+    the driver never pays for this: because this form reuses one
+    compiled program for ANY cell count, cli/sweep.py drops frozen cells
+    from the device state the moment they freeze (`_should_drop`), so
+    dispatches here are live cells only.
     """
     if mesh.shape["data"] > 1:
         inner = make_sharded_step(cfg, apply_fn, tables, mesh)

@@ -27,7 +27,16 @@ def _parse_words(spec: str | None) -> tuple[int, int] | None:
     """``--synthetic_words "MIN,MAX"`` → (min, max) or None."""
     if not spec:
         return None
-    lo, hi = (int(v) for v in spec.split(","))
+    try:
+        lo, hi = (int(v) for v in spec.split(","))
+    except ValueError:
+        raise SystemExit(
+            f"--synthetic_words expects 'MIN,MAX' (two integers), got {spec!r}"
+        )
+    if lo < 1 or hi < lo:
+        raise SystemExit(
+            f"--synthetic_words needs 1 <= MIN <= MAX, got {spec!r}"
+        )
     return lo, hi
 
 

@@ -81,6 +81,30 @@ def create_sweep_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _ns_for(s: int, n_dev: int) -> int:
+    """Sweep-axis size for an ``s``-cell sweep on ``n_dev`` devices:
+    shard cells across chips when they divide evenly, else the
+    host-multiplexed sweep-axis-1 form (attack/step.py:make_sweep_step)."""
+    return s if n_dev % s == 0 and s <= n_dev else 1
+
+
+def _should_drop(n_live: int, n_cur: int, n_dev: int) -> bool:
+    """Rebuild device state over the surviving cells now?
+
+    The host-multiplexed form (sweep axis 1) reuses the SAME compiled
+    single-cell program for any cell count, so dropping is free and
+    happens the moment any cell freezes — each frozen cell would
+    otherwise pay a full discarded fwd+bwd dispatch per batch. The
+    vmapped form pays a rebuild + compile per new cell count, so it
+    waits until ≤ half the cells survive.
+    """
+    if not 0 < n_live < n_cur:
+        return False
+    if _ns_for(n_cur, n_dev) == 1 and _ns_for(n_live, n_dev) == 1:
+        return True
+    return n_live <= n_cur // 2
+
+
 def _cell_dir(root: str, args, cfg, norm_type: str, size: float) -> str:
     # same layout as the reference's per-job save_dir (build.py:249-254)
     return os.path.join(
@@ -227,7 +251,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         early-stopped — the vmapped program otherwise keeps paying S full
         forward/backwards per batch for frozen cells (the mask only
         no-ops the *update*)."""
-        ns = s_dev if n_dev % s_dev == 0 and s_dev <= n_dev else 1
+        ns = _ns_for(s_dev, n_dev)
         m = mesh_lib.sweep_mesh(n_sweep=ns, n_devices=n_dev)
         return (
             attack_step.make_sweep_step(cfg, apply_fn, tables, m),
@@ -425,7 +449,6 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
 
     # -- epochs ------------------------------------------------------------
     t_start = time.perf_counter()
-    n_steps = 0
     n_cell_steps = 0  # Σ over steps of cells actually TRAINING that step
     for epoch in range(start_epoch, cfg.num_epochs):
         if np.all(no_improve_s >= cfg.early_stopping):
@@ -435,11 +458,16 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             break
         live_mask = no_improve_s < cfg.early_stopping
         n_live = int(live_mask.sum())
-        if 0 < n_live <= len(dev_idx) // 2:
+        cur_key = len(dev_idx)
+        if _should_drop(n_live, cur_key, n_dev):
             dev_idx = np.where(live_mask)[0]
             s_dev = len(dev_idx)
             if s_dev not in programs:
-                programs[s_dev] = _build_programs(s_dev)
+                if _ns_for(cur_key, n_dev) == 1 and _ns_for(s_dev, n_dev) == 1:
+                    # same mux programs: they read S off p_s.shape
+                    programs[s_dev] = programs[cur_key]
+                else:
+                    programs[s_dev] = _build_programs(s_dev)
             step, sweep_eval, _, _ = programs[s_dev]
             p_s = jnp.asarray(p_full[dev_idx])
             opt_s = jax.tree.map(
@@ -463,7 +491,6 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
                 batch.weights, cparams_dev, active, lr,
             )
             pending.append((m, pipeline_lib.host_mask(batch), batch.indices))
-            n_steps += 1
         n_cell_steps += len(pending) * n_live
         # scatter the trained cells back into the full-S host state
         p_full[dev_idx] = np.asarray(p_s)

@@ -68,6 +68,8 @@ class _BitReader:
 
     def read(self, n: int) -> int:
         """Read n (< 64) bits as an unsigned int."""
+        if n == 0:  # _w64[-0:] would be the whole weight vector
+            return 0
         b = self._bits[self.pos : self.pos + n]
         if len(b) < n:
             raise FlacError("unexpected end of stream")
@@ -182,6 +184,8 @@ def _read_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
     wasted = 0
     if br.read(1):
         wasted = br.unary() + 1
+        if wasted >= bps:
+            raise FlacError(f"wasted bits {wasted} >= sample size {bps}")
         bps -= wasted
 
     if ftype == 0:  # CONSTANT
@@ -538,11 +542,26 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
 
 
 def _stream_bps(data: bytes) -> int:
-    """bits-per-sample from STREAMINFO (bits 103..107 of the block)."""
-    # STREAMINFO body starts at byte 8 (fLaC + 4-byte block header);
-    # bps-1 is the 5 bits spanning byte offsets 12-13 of the body.
-    body = data[8 : 8 + 34]
-    return (((body[12] & 0x01) << 4) | (body[13] >> 4)) + 1
+    """bits-per-sample from STREAMINFO (bits 103..107 of the block body),
+    walking the metadata chain exactly like decode_flac_py — STREAMINFO
+    need not be the first block, and assuming a fixed byte offset would
+    silently mis-scale streams the decoder itself accepts."""
+    if data[:4] != b"fLaC":
+        raise FlacError("not a FLAC stream (missing fLaC marker)")
+    pos = 4
+    while True:
+        if pos + 4 > len(data):
+            raise FlacError("truncated metadata")
+        hdr = data[pos]
+        length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if (hdr & 0x7F) == 0:
+            body = data[pos + 4 : pos + 4 + length]
+            if len(body) < 18:
+                raise FlacError("missing STREAMINFO")
+            return (((body[12] & 0x01) << 4) | (body[13] >> 4)) + 1
+        pos += 4 + length
+        if hdr & 0x80:
+            raise FlacError("missing STREAMINFO")
 
 
 # ---------------------------------------------------------------------------

@@ -608,3 +608,59 @@ def test_self_test_covers_non_verbatim_paths():
         assert not flac._self_test(bad)
     finally:
         flac._native_call = orig
+
+
+def test_wasted_bits_exceeding_bps_is_flac_error():
+    """wasted >= bps must raise FlacError (not a bare numpy ValueError
+    escaping the datasets._read_flac decode-error gate)."""
+    w = BitWriter()
+    w.write(0, 1)
+    w.write(1, 6)   # VERBATIM
+    w.write(1, 1)   # wasted-bits flag
+    w.write_unary(15)  # wasted = 16 == bps
+    frame_w = BitWriter()
+    frame_w.write(0b11111111111110, 14)
+    frame_w.write(0, 2)
+    frame_w.write(7, 4)
+    frame_w.write(0, 4)
+    frame_w.write(0, 4)
+    frame_w.write(0, 3)
+    frame_w.write(0, 1)
+    frame_w.write(0, 8)
+    frame_w.write(31, 16)  # blocksize 32
+    frame_w.write(0, 8)
+    frame_w.bits.extend(w.bits)
+    frame_w.align()
+    frame_w.write(0, 16)
+    x = _mono(np.zeros(32))
+    stream = _stream(16000, 16, x, [frame_w.tobytes()])
+    with pytest.raises(flac.FlacError):
+        flac.decode_flac_py(stream)
+    with pytest.raises(flac.FlacError):
+        flac.decode_flac(stream)  # native path must also reject → gate holds
+
+
+def test_streaminfo_after_other_metadata_scales_correctly():
+    """STREAMINFO may sit behind other metadata blocks; read_flac must
+    still find the true bps instead of reading padding bytes as bps=1
+    and mis-scaling the audio 32768x."""
+    rng = np.random.default_rng(5)
+    x = _mono(rng.integers(-32768, 32768, size=64))
+    frame = _frame(64, 1, [lambda w: _subframe_verbatim(w, x, 16)])
+    si = _streaminfo(16000, 1, 16, len(x))
+    padding = bytes([0x01, 0, 0, 4]) + b"\x00" * 4  # PADDING, not last
+    stream = (b"fLaC" + padding + bytes([0x80, 0, 0, len(si)]) + si + frame)
+    # the decoder itself accepts this layout
+    pcm, sr = flac.decode_flac_py(stream)
+    np.testing.assert_array_equal(pcm[:, 0], x)
+    assert flac._stream_bps(stream) == 16
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".flac", delete=False) as f:
+        f.write(stream)
+        path = f.name
+    try:
+        wave, sr2 = flac.read_flac(path)
+        assert sr2 == 16000
+        np.testing.assert_allclose(wave, x.astype(np.float32) / 32768.0, atol=0)
+    finally:
+        os.unlink(path)

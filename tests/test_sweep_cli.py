@@ -292,3 +292,49 @@ def test_sweep_identical_with_device_cache(tmp_path):
         assert c_off["final_ctc"] == c_on["final_ctc"]
         assert c_off["best_eval_pert_ctc"] == c_on["best_eval_pert_ctc"]
         assert c_off["test_pert_wer"] == c_on["test_pert_wer"]
+
+
+def test_mux_sweep_drops_frozen_cells_immediately(tmp_path):
+    """With the host-multiplexed form (sweep axis 1 — here S=6 on 8
+    devices, since 8 % 6 != 0), the same compiled single-cell program
+    serves any cell count, so frozen cells must drop from device state
+    the moment they freeze (no ≤ half hysteresis) — each frozen cell
+    would otherwise pay a full discarded fwd+bwd dispatch per batch."""
+    args = _sweep_args(
+        tmp_path, norms="linf",
+        grid=json.dumps({"linf": [0.0, 1e-2, 2e-2, 3e-2, 4e-2, 5e-2]}),
+        num_epochs=5, early_stopping=2,
+    )
+    summary = sweep.run_sweep(args)
+    entry = summary["linf"]
+
+    # the eps=0 cell freezes after 1 + early_stopping epochs; n_live=5 >
+    # 6//2 would NOT trip the vmapped hysteresis — the mux form (both 6
+    # and 5 resolve to sweep axis 1) must still drop to a 5-cell state
+    assert 5 in entry["programs_built"], entry["programs_built"]
+    dead = [c for c in entry["cells"] if c["size"] == 0.0]
+    assert len(dead) == 1
+    lines = open(os.path.join(dead[0]["dir"], "metrics.jsonl")).read().splitlines()
+    assert len(lines) == 3  # epochs 0-2, then frozen
+
+
+def test_should_drop_policy():
+    """Unit pin of the drop decision: immediate for mux→mux transitions
+    (single chip: always; non-dividing counts otherwise), ≤ half
+    hysteresis when a vmapped rebuild would be required."""
+    # single chip: every count is the mux form — drop the moment any
+    # cell freezes
+    assert sweep._should_drop(4, 5, 1)
+    assert sweep._should_drop(2, 3, 1)
+    # 8 devices: 6→5 stays mux (neither divides 8) — immediate
+    assert sweep._should_drop(5, 6, 8)
+    # 8 devices: 5→4 would switch to the vmapped 4-cell sharded form —
+    # wait for the hysteresis (4 > 5//2)
+    assert not sweep._should_drop(4, 5, 8)
+    assert sweep._should_drop(2, 5, 8)  # 2 <= 5//2
+    # vmapped→vmapped: hysteresis only
+    assert not sweep._should_drop(3, 4, 8)  # wait: 3 > 4//2 (ns 4→1... )
+    assert sweep._should_drop(2, 4, 8)
+    # no live cells / nothing frozen: never drop
+    assert not sweep._should_drop(0, 4, 8)
+    assert not sweep._should_drop(4, 4, 8)

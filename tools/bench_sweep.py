@@ -41,7 +41,14 @@ REMAT = os.environ.get("SWEEP_REMAT", "1") == "1"
 SINGLE_STEPS_PER_SEC = float(os.environ.get("SWEEP_SINGLE_SPS", "4.16"))
 
 
-def main() -> int:
+def build_fixture():
+    """Sweep step + its operand list at the env-configured shape.
+
+    Shared by this benchmark and tools/profile_sweep.py so the traced
+    program can never drift from the timed one. Returns ``(sweep, ops)``
+    where ``ops`` is the positional argument list; callers rebind
+    ``ops[1], ops[2]`` (p_s, opt_s) with each step's outputs.
+    """
     from paa_tpu import runtime
 
     runtime.configure()
@@ -92,20 +99,28 @@ def main() -> int:
     active = jnp.ones((S,), jnp.float32)
     lr = jnp.float32(cfg.lr)
 
+    ops = [params, p_s, opt_s, audio, labels, pads, weights, cparams_s, active, lr]
+    return sweep, ops
+
+
+def main() -> int:
+    import jax.numpy as jnp
+
+    sweep, ops = build_fixture()
+    S = len(GRID)
+
     t_c = time.perf_counter()
-    p_s, opt_s, m = sweep(
-        params, p_s, opt_s, audio, labels, pads, weights, cparams_s, active, lr
-    )
+    p_s, opt_s, m = sweep(*ops)
+    ops[1], ops[2] = p_s, opt_s
     _ = float(jnp.sum(m.ctc_loss))  # force full sync
     compile_s = time.perf_counter() - t_c
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        p_s, opt_s, m = sweep(
-            params, p_s, opt_s, audio, labels, pads, weights, cparams_s, active, lr
-        )
+        p_s, opt_s, m = sweep(*ops)
+        ops[1], ops[2] = p_s, opt_s
     _ = float(jnp.sum(m.ctc_loss))
-    _ = float(jnp.sum(p_s))
+    _ = float(jnp.sum(ops[1]))
     dt = (time.perf_counter() - t0) / STEPS
 
     sweep_sps = 1.0 / dt
