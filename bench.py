@@ -58,6 +58,9 @@ REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "save_cheap")
 PALLAS_FM = os.environ.get("BENCH_PALLAS_FM")  # default: on unless CPU backend
 OPT = os.environ.get("BENCH_OPT", "pgd")  # "pgd" | "adam"
 MODEL = os.environ.get("BENCH_MODEL", "wav2vec2-base")
+# frozen-kernel HBM storage; default bf16 = bit-identical under the bf16
+# compute dtype, half the parameter bytes (docs/PERF.md round 3)
+PARAM_STORAGE = os.environ.get("BENCH_PARAM_STORAGE", "bfloat16")
 FLASH_BLOCK = int(os.environ.get("BENCH_FLASH_BLOCK", "0"))
 REMAT_FFN = os.environ.get("BENCH_REMAT_FFN", "0") == "1"
 FUSED_QKV = os.environ.get("BENCH_FUSED_QKV", "0") == "1"
@@ -98,6 +101,10 @@ def main() -> int:
         remat_ffn=REMAT_FFN,
     )
     params = wav2vec2.init_params(mcfg, example_len=2000)
+    if PARAM_STORAGE != "float32":
+        # bf16 kernel storage: bit-identical under bf16 compute (kernels
+        # are cast in-graph anyway), half the parameter HBM (docs/PERF.md)
+        params = wav2vec2.cast_param_storage(params, PARAM_STORAGE)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)
     apply_fn = lambda prm, a: model.apply({"params": prm}, a)
     tables = psycho.build_tables(cfg)

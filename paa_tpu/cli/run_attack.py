@@ -116,6 +116,13 @@ def load_model_bundle(args):
             log.warning("pretrained weights unavailable (%s); using random init", e)
     if params is None:
         params = wav2vec2.init_params(mcfg, seed=args.seed)
+    storage = getattr(args, "param_storage", None) or (
+        "bfloat16" if args.compute_dtype == "bfloat16" else "float32"
+    )
+    if storage != "float32":
+        params = wav2vec2.cast_param_storage(params, storage)
+        log.info("parameter kernels stored as %s (bit-identical under "
+                 "%s compute; half the parameter HBM)", storage, args.compute_dtype)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)
     apply_fn = lambda prm, audio: model.apply({"params": prm}, audio)
     return mcfg, params, apply_fn

@@ -209,6 +209,30 @@ def get_config(name: str, **overrides) -> Wav2Vec2Config:
     return dataclasses.replace(PRESETS[name], **overrides)
 
 
+def cast_param_storage(params, storage_dtype) -> dict:
+    """Cast the matmul/conv ``kernel`` leaves to ``storage_dtype`` for
+    HBM residency (>99% of parameter bytes: base 378 → 189 MB, lv60
+    1.26 → 0.63 GB).
+
+    Every kernel is cast to ``compute_dtype`` in-graph before use, so
+    bf16 storage under the default bf16 compute dtype produces
+    BIT-IDENTICAL outputs (pre-casting equals the in-graph cast) while
+    halving parameter HBM reads and resident bytes — the slack that lets
+    lv60 run monolithic accum=1 on a 16 GB chip (docs/PERF.md round 3).
+    Biases, norm scales, the weight-normed positional conv
+    (weight_g/weight_v participate in an f32 norm), and the lm_head
+    (the ONE projection applied in f32 — the head always runs f32) keep
+    f32 storage: casting those WOULD shift numerics.
+    """
+    dt = jnp.dtype(storage_dtype)
+
+    def _cast(path, x):
+        names = {getattr(k, "key", getattr(k, "name", None)) for k in path}
+        return x.astype(dt) if "kernel" in names and "lm_head" not in names else x
+
+    return jax.tree_util.tree_map_with_path(_cast, params)
+
+
 # ---------------------------------------------------------------------------
 # Feature extractor (raw waveform → 512-dim frames at 49.9 Hz)
 # ---------------------------------------------------------------------------

@@ -188,3 +188,30 @@ def test_fused_qkv_matches_unfused():
         )
         outs.append(np.asarray(jax.jit(m.apply)({"params": params}, audio)))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_param_storage_bit_identical_under_bf16_compute():
+    """cast_param_storage casts only the matmul/conv ``kernel`` leaves —
+    which the model casts to compute dtype in-graph anyway — so under
+    bfloat16 compute the logits are BIT-identical while parameter bytes
+    roughly halve. Norm scales/biases and the weight-normed positional
+    conv stay f32 (casting those would shift numerics)."""
+    cfg = wav2vec2.get_config("wav2vec2-tiny", compute_dtype="bfloat16")
+    params = wav2vec2.init_params(cfg, example_len=2000)
+    params16 = wav2vec2.cast_param_storage(params, "bfloat16")
+    model = wav2vec2.Wav2Vec2ForCTC(cfg)
+    audio = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 2000)), jnp.float32) * 0.1
+    l32 = model.apply({"params": params}, audio)
+    l16 = model.apply({"params": params16}, audio)
+    np.testing.assert_array_equal(np.asarray(l32), np.asarray(l16))
+    nb = sum(x.nbytes for x in jax.tree.leaves(params))
+    nb16 = sum(x.nbytes for x in jax.tree.leaves(params16))
+    # tiny has a larger non-kernel fraction than base/lv60 (where
+    # kernels are >99% of bytes and the ratio approaches 0.5)
+    assert nb16 < 0.75 * nb
+    # non-kernel leaves untouched
+    from jax.tree_util import tree_flatten_with_path, keystr
+    for path, x in tree_flatten_with_path(params16)[0]:
+        if "kernel" not in keystr(path) or "lm_head" in keystr(path):
+            assert x.dtype == jnp.float32, keystr(path)
