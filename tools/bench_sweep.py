@@ -36,9 +36,10 @@ ACCUM = int(os.environ.get("SWEEP_ACCUM", "8"))
 MODEL = os.environ.get("SWEEP_MODEL", "wav2vec2-base")
 ATTN = os.environ.get("SWEEP_ATTN")  # default: fused on TPU
 REMAT = os.environ.get("SWEEP_REMAT", "1") == "1"
+PARAM_STORAGE = os.environ.get("SWEEP_PARAM_STORAGE", "bfloat16")
 # single-run steps/s at the same shape for the vs_sequential ratio
 # (bench.py's current number; override after re-benching)
-SINGLE_STEPS_PER_SEC = float(os.environ.get("SWEEP_SINGLE_SPS", "4.16"))
+SINGLE_STEPS_PER_SEC = float(os.environ.get("SWEEP_SINGLE_SPS", "4.18"))
 
 
 def build_fixture():
@@ -74,6 +75,8 @@ def build_fixture():
         remat_feature_extractor=True, remat_policy="save_cheap",
     )
     params = wav2vec2.init_params(mcfg, example_len=2000)
+    if PARAM_STORAGE != "float32":
+        params = wav2vec2.cast_param_storage(params, PARAM_STORAGE)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)
     apply_fn = lambda prm, a: model.apply({"params": prm}, a)
     tables = psycho.build_tables(cfg)

@@ -52,6 +52,8 @@ def capture(trace_dir: str) -> None:
         remat_ffn=bench.REMAT_FFN,
     )
     params = wav2vec2.init_params(mcfg, example_len=2000)
+    if bench.PARAM_STORAGE != "float32":
+        params = wav2vec2.cast_param_storage(params, bench.PARAM_STORAGE)
     model = wav2vec2.Wav2Vec2ForCTC(mcfg)
     apply_fn = lambda prm, a: model.apply({"params": prm}, a)
     tables = psycho.build_tables(cfg)
