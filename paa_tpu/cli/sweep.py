@@ -314,11 +314,13 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
 
     # -- checkpoint/resume (replaces SLURM --requeue; build.py:266-286) ---
     # The checkpoint is guarded by a config fingerprint: resuming a sweep
-    # whose grid/seed/optimizer/shapes changed would silently continue
-    # stale state under freshly-labeled cell dirs. ``--no_resume`` (and
-    # ``--small_data``, matching run_attack/build.py:279) discards any
-    # leftover state; a finished sweep deletes its checkpoint (below), so
-    # re-running under the same save_root starts fresh.
+    # whose grid/seed/optimizer/shapes/corpus changed would silently
+    # continue stale state under freshly-labeled cell dirs. ``--no_resume``
+    # (and ``--small_data``, matching run_attack/build.py:279) discards
+    # any leftover state. A FINISHED norm keeps its checkpoint: a requeued
+    # multi-norm sweep then resumes it past its last epoch and goes
+    # straight to finalize instead of retraining from scratch; a changed
+    # config still refuses via the fingerprint.
     import dataclasses as _dc
 
     ckpt_path = os.path.join(root, f"sweep_state_{norm_type}.msgpack")
@@ -333,6 +335,12 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         "sizes": [float(s) for s in sizes],
         "audio_len": int(pipe.audio_len),
         "dataset": args.dataset,
+        # corpus-shaping flags: the same --dataset name over a different
+        # corpus is still stale state
+        "data_root": getattr(args, "data_root", None),
+        "synthetic_samples": getattr(args, "synthetic_samples", None),
+        "synthetic_words": getattr(args, "synthetic_words", None),
+        "n_train": len(pipe.train),
     }
     if args.no_resume or args.small_data:
         for stale in (ckpt_path, fp_path):
@@ -579,9 +587,11 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
                 sweep_steps_per_sec=n_cell_steps / wall if wall else None,
             )
 
-        if not os.path.exists(fp_path):
-            with open(fp_path, "w") as fh:
-                json.dump(fingerprint, fh)
+        # written unconditionally WITH every checkpoint: an `only if
+        # absent` write would let a stale fingerprint from an earlier
+        # aborted run guard a checkpoint of a different configuration
+        with open(fp_path, "w") as fh:
+            json.dump(fingerprint, fh)
         checkpoint.save_checkpoint(ckpt_path, {
             "p_s": jnp.asarray(p_full), "opt_s": opt_full, "epoch": epoch,
             "best_score_s": best_score_s, "best_p_s": best_p_s,
@@ -668,11 +678,12 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             "test_pert_wer": float(test_pert_wer[i]),
             "dir": cell_dirs[i],
         })
-    # finished: the checkpoint has served its preemption-resume purpose —
-    # remove it so a later sweep under the same root starts fresh
-    for done in (ckpt_path, fp_path):
-        if os.path.exists(done):
-            os.remove(done)
+    # The finished norm's checkpoint is KEPT: if a multi-norm sweep is
+    # preempted during a LATER norm, the requeued run resumes this norm
+    # past its final epoch and goes straight to finalize instead of
+    # retraining from scratch. The fingerprint guard (above) still
+    # refuses stale state under a changed config, and --no_resume
+    # discards it for a deliberate fresh start.
     return {
         "cells": norm_summary,
         # ACTIVE-cell steps only: frozen (early-stopped) cells are not

@@ -160,7 +160,7 @@ def test_one_cell_sweep_matches_run_attack(tmp_path):
     )
 
 
-def _preempt_after_epochs(monkeypatch, args):
+def _preempt_after_epochs(args):
     """Run a sweep that dies at finalize (i.e. after its last epoch's
     checkpoint) — a faithful stand-in for SLURM preemption mid-sweep."""
     from paa_tpu.train import artifacts
@@ -174,7 +174,7 @@ def _preempt_after_epochs(monkeypatch, args):
             sweep.run_sweep(args)
 
 
-def test_sweep_resume_is_exact(tmp_path, monkeypatch):
+def test_sweep_resume_is_exact(tmp_path):
     """1 epoch + preemption + resumed 1 more == 2 uninterrupted epochs:
     sweep state is fully checkpointed and batch order is (seed,
     epoch)-pure — the replacement for SLURM requeue-resume
@@ -183,13 +183,12 @@ def test_sweep_resume_is_exact(tmp_path, monkeypatch):
     kw = dict(norms="linf", grid=grid, early_stopping=99)
 
     s1 = sweep.run_sweep(_sweep_args(tmp_path / "straight", num_epochs=2, **kw))
-    # a COMPLETED sweep removes its checkpoint (stale-state guard); only a
-    # preempted one leaves state behind to resume from
-    assert not os.path.exists(tmp_path / "straight" / "sweep_state_linf.msgpack")
+    # a COMPLETED norm KEEPS its checkpoint: a requeued multi-norm sweep
+    # must resume it straight to finalize instead of retraining (the
+    # fingerprint guard covers the stale-config case)
+    assert os.path.exists(tmp_path / "straight" / "sweep_state_linf.msgpack")
 
-    _preempt_after_epochs(
-        monkeypatch, _sweep_args(tmp_path / "resumed", num_epochs=1, **kw)
-    )
+    _preempt_after_epochs(_sweep_args(tmp_path / "resumed", num_epochs=1, **kw))
     assert os.path.exists(tmp_path / "resumed" / "sweep_state_linf.msgpack")
     s2 = sweep.run_sweep(_sweep_args(tmp_path / "resumed", num_epochs=2, **kw))
 
@@ -202,6 +201,18 @@ def test_sweep_resume_is_exact(tmp_path, monkeypatch):
     # resumed metrics stream covers both epochs, no duplicates
     lines = [json.loads(l) for l in open(os.path.join(d2, "metrics.jsonl"))]
     assert [l["epoch"] for l in lines] == [0, 1]
+
+    # re-running the FINISHED sweep (same config, kept checkpoint — the
+    # multi-norm requeue case) resumes past its last epoch and goes
+    # straight to finalize: no retraining, identical outputs
+    metrics_before = open(os.path.join(d1, "metrics.jsonl")).read()
+    p_before = np.load(os.path.join(d1, "perturbation.npy"))
+    s3 = sweep.run_sweep(_sweep_args(tmp_path / "straight", num_epochs=2, **kw))
+    assert open(os.path.join(d1, "metrics.jsonl")).read() == metrics_before
+    np.testing.assert_array_equal(
+        p_before, np.load(os.path.join(d1, "perturbation.npy"))
+    )
+    assert s3["linf"]["n_cell_steps"] == 0  # not one training step re-run
 
 
 def test_sweep_drops_frozen_cells_and_counts_active_steps(tmp_path):
@@ -251,14 +262,13 @@ def test_sweep_drops_frozen_cells_and_counts_active_steps(tmp_path):
     assert entry["n_cell_steps"] < n_batches * max(per_cell_lines) * len(cells)
 
 
-def test_sweep_resume_refuses_changed_config(tmp_path, monkeypatch):
+def test_sweep_resume_refuses_changed_config(tmp_path):
     """A leftover checkpoint from a DIFFERENT configuration (grid/lr/seed
     changed under the same save_root) must not be silently resumed —
     results would be labeled with the new epsilons but computed from
     stale state."""
     kw = dict(norms="linf", early_stopping=99, num_epochs=1)
     _preempt_after_epochs(
-        monkeypatch,
         _sweep_args(tmp_path, grid=json.dumps({"linf": [5e-3]}), **kw),
     )
     # same cell count, different epsilon → refuse
