@@ -534,10 +534,11 @@ class SelfAttention(nn.Module):
             if jax.default_backend() != "tpu":
                 impl = "xla"
             else:
-                T = x.shape[1]
-                Tp = max(128, -(-T // 128) * 128)
-                G = fused_attn.feasible_chunks(nh, hd, Tp, cfg.dtype.itemsize)
-                impl = "fused" if G is not None else "flash"
+                impl = (
+                    "fused"
+                    if fused_attn.fits(x.shape[1], nh, hd, cfg.dtype.itemsize)
+                    else "flash"
+                )
         if impl == "xla":
             # The fused path names its (padded, transposed) kernel inputs
             # inside fused_attention; the dense path names them here so
@@ -585,8 +586,10 @@ def _flash_attention(q, k, v, dtype, block: int = 0) -> jnp.ndarray:
     kernel requires seq_len % block == 0)."""
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
+    from paa_tpu.ops.pallas.attention import pad_seq
+
     B, T, nh, hd = q.shape
-    Tp = max(128, -(-T // 128) * 128)
+    Tp = pad_seq(T)
     block_sizes = None
     if block > 0:
         b = max(128, min(block, Tp) // 128 * 128)

@@ -54,6 +54,21 @@ _NEG_INF = -1e30
 _VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16 MiB limit
 
 
+def pad_seq(T: int) -> int:
+    """Padded sequence length the kernel operates on (128-lane multiple).
+    The ONE place this rounding lives — feasibility prechecks must agree
+    with the Tp :func:`fused_attention` itself will use."""
+    return max(128, -(-T // 128) * 128)
+
+
+def fits(T: int, H: int, d: int, itemsize: int) -> bool:
+    """Whole-problem kernel feasibility for an UNPADDED sequence length —
+    what auto-impl selection should ask instead of re-deriving the
+    padding formula (a divergent copy could answer "fits" for a shape
+    :func:`_pick_chunks` then rejects at trace time)."""
+    return feasible_chunks(H, d, pad_seq(T), itemsize) is not None
+
+
 def feasible_chunks(H: int, d: int, Tp: int, itemsize: int) -> int | None:
     """Smallest G (number of head chunks) whose per-cell footprint fits
     VMEM, or None when no chunking does (long sequences — roughly >13 s
@@ -230,7 +245,7 @@ def fused_attention(q, k, v, *, interpret: bool = False) -> jnp.ndarray:
     VJP above).
     """
     B, T, H, d = q.shape
-    Tp = max(128, -(-T // 128) * 128)
+    Tp = pad_seq(T)
     # interpret mode (CPU tests) has no lane-tiling constraint or VMEM
     # limit; tiny test heads (H·d < 128) would otherwise have no valid G
     G = 1 if interpret else _pick_chunks(H, d, Tp, q.dtype.itemsize)
