@@ -418,3 +418,43 @@ def test_step_lr_schedule():
     assert optimizers.step_lr(cfg, 1) == pytest.approx(1e-4)
     assert optimizers.step_lr(cfg, 2) == pytest.approx(0.9e-4)
     assert optimizers.step_lr(cfg, 5) == pytest.approx(1e-4 * 0.9**2)
+
+
+NORM_TEST_SIZES = dict(
+    linf_size=0.05, l2_size=2.0, l1_size=20.0, snr_db=10.0, tv_epsilon=0.05,
+    fm_epsilon=5.0, max_phon_level=40.0, min_freq=120.0, max_freq=2000.0,
+)
+
+
+@pytest.mark.parametrize("norm", [
+    "linf", "l2", "l1", "snr", "tv",
+    "min_max_freqs", "fletcher_munson", "max_phon",
+])
+def test_every_norm_through_the_fused_step(setup, norm):
+    """The COMPOSED step (forward → grad → PGD → projection) runs for
+    every norm in the zoo, moves p, stays finite, and leaves p (already
+    projected inside the step) a fixed point of its own projection —
+    approximately for the STFT-domain norms, whose single-pass iSTFT
+    resynthesis leaks by design (reference formulation; see the
+    faithful-behavior note in .claude/skills/verify/SKILL.md)."""
+    from paa_tpu.ops import projections
+
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig(norm_type=norm, optimizer_type="pgd", lr=5e-3)
+    tables = psycho.build_tables(cfg)
+    cparams = ConstraintParams.create(**NORM_TEST_SIZES)
+    train = attack_step.make_train_step(cfg, apply_fn, tables)
+    p = jnp.zeros((1, T), jnp.float32)
+    opt = optimizers.init_opt_state(cfg, p)
+    w = jnp.ones((B,), jnp.float32)
+    for _ in range(3):
+        p, opt, m = train(
+            params, p, opt, audio, labels, pads, w, cparams, jnp.float32(cfg.lr)
+        )
+    assert np.isfinite(float(m.ctc_loss)), norm
+    assert bool(jnp.all(jnp.isfinite(p))), norm
+    assert float(jnp.max(jnp.abs(p))) > 0, f"{norm}: step never moved p"
+    p2 = projections.perturbation_constraint(p, audio, cfg, cparams, tables)
+    rel = float(jnp.linalg.norm(p2 - p) / (jnp.linalg.norm(p) + 1e-9))
+    tol = 0.35 if norm in ("min_max_freqs", "fletcher_munson", "max_phon") else 1e-4
+    assert rel < tol, (norm, rel)
