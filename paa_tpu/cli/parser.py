@@ -169,6 +169,12 @@ def create_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the run into "
                              "<save_dir>/profile (view with tensorboard)")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="mirror per-epoch metrics to <save_dir>/tb as real "
+                             "TensorBoard event files via the dependency-free "
+                             "writer (train/tb_events.py) — the integration the "
+                             "reference imports but never ships "
+                             "(run_attack.py:6, 245-251)")
     parser.add_argument("--debug_plots", action="store_true",
                         help="emit the phon-projection 3-panel / FM weight-curve "
                              "debug plots on improvement epochs (reference: "

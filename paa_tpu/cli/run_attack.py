@@ -177,6 +177,7 @@ def main(args) -> int:
                 resume=not args.no_resume and not args.small_data,
                 init_p=init_p,
                 debug_plots=args.debug_plots,
+                tensorboard=args.tensorboard,
             )
         finally:
             if args.profile:

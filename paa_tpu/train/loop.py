@@ -293,10 +293,14 @@ def run_attack(
     resume: bool = True,
     init_p: np.ndarray | None = None,
     debug_plots: bool = False,
+    tensorboard: bool = False,
 ) -> RunResult:
     """Full attack run with best-tracking, early stopping and artifacts
     (reference: src/run_attack.py:13-279). ``init_p`` warm-starts from a
-    saved perturbation (the reference's --resume_from, build.py:296-299)."""
+    saved perturbation (the reference's --resume_from, build.py:296-299).
+    ``tensorboard`` mirrors the per-epoch metric stream to
+    ``save_dir/tb/`` as real event files (train/tb_events.py — the
+    integration the reference stubs but never ships, run_attack.py:6)."""
     os.makedirs(save_dir, exist_ok=True)
     runner = AttackRunner(cfg, apply_fn, model_params, pipe, cparams)
     cparams = runner.cparams
@@ -349,6 +353,13 @@ def run_attack(
     # between would otherwise replay the epoch and append it twice)
     metrics_path = os.path.join(save_dir, "metrics.jsonl")
     _truncate_metrics(metrics_path, start_epoch)
+    tb_writer = None
+    if tensorboard:
+        from paa_tpu.train import tb_events
+
+        # one event file per process; a resumed run appends a new file to
+        # the same logdir, which stock TensorBoard merges
+        tb_writer = tb_events.EventWriter(os.path.join(save_dir, "tb"))
 
     clean_eval_cache = None
     step_ms = 0.0
@@ -398,6 +409,15 @@ def run_attack(
                 "eval_pert_wer": pert.wer, "step_time_ms": step_ms,
                 "lr": optimizers.step_lr(cfg, epoch),
             }) + "\n")
+        if tb_writer is not None:
+            tb_writer.scalars({
+                "train/ctc": train_scores.ctc, "train/wer": train_scores.wer,
+                "eval/clean_ctc": clean.ctc, "eval/clean_wer": clean.wer,
+                "eval/pert_ctc": pert.ctc, "eval/pert_wer": pert.wer,
+                "train/step_time_ms": step_ms,
+                "train/lr": optimizers.step_lr(cfg, epoch),
+            }, step=epoch)
+            tb_writer.flush()
         artifacts.save_loss_plot(
             {"ctc": history["train_ctc"], "wer": history["train_wer"]},
             {"ctc": history["eval_clean_ctc"], "wer": history["eval_clean_wer"]},
@@ -486,6 +506,12 @@ def run_attack(
         pert_ctc_test=pert_test.ctc, pert_wer_test=pert_test.wer,
         best_epoch=best_epoch,
     )
+    if tb_writer is not None:
+        tb_writer.scalars({
+            "test/clean_ctc": clean_test.ctc, "test/clean_wer": clean_test.wer,
+            "test/pert_ctc": pert_test.ctc, "test/pert_wer": pert_test.wer,
+        }, step=best_epoch)
+        tb_writer.close()
     return RunResult(
         best_epoch=best_epoch,
         test_clean=clean_test,
