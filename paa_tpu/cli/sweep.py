@@ -267,6 +267,21 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
     clean_eval_step = attack_step.make_sharded_eval_step(cfg, apply_fn, mesh)
 
     cell_dirs = [_cell_dir(root, args, cfg, norm_type, s) for s in sizes]
+
+    # per-cell TensorBoard mirrors (lazy; same writer a standalone
+    # run_attack would create for that cell dir)
+    _tb_writers: dict[int, object] = {}
+
+    def _tb(i: int):
+        if not getattr(args, "tensorboard", False):
+            return None
+        if i not in _tb_writers:
+            from paa_tpu.train import tb_events
+
+            _tb_writers[i] = tb_events.EventWriter(
+                os.path.join(cell_dirs[i], "tb")
+            )
+        return _tb_writers[i]
     for d in cell_dirs:
         os.makedirs(d, exist_ok=True)
 
@@ -572,6 +587,18 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
                     "eval_pert_wer": float(pert_wer[i]),
                     "lr": optimizers.step_lr(cfg, epoch),
                 }) + "\n")
+            w = _tb(i)
+            if w is not None:
+                w.scalars({
+                    "train/ctc": hist_i["train_ctc"][-1],
+                    "train/wer": hist_i["train_wer"][-1],
+                    "eval/clean_ctc": clean_eval[0],
+                    "eval/clean_wer": clean_eval[1],
+                    "eval/pert_ctc": float(pert_ctc[i]),
+                    "eval/pert_wer": float(pert_wer[i]),
+                    "train/lr": optimizers.step_lr(cfg, epoch),
+                }, step=epoch)
+                w.flush()
             artifacts.save_json_results(
                 cell_dirs[i], norm_type, sizes[i],
                 epoch=epoch, finished_training=False,
@@ -678,6 +705,14 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             "test_pert_wer": float(test_pert_wer[i]),
             "dir": cell_dirs[i],
         })
+        w = _tb(i)
+        if w is not None:
+            w.scalars({
+                "test/clean_ctc": test_clean[0], "test/clean_wer": test_clean[1],
+                "test/pert_ctc": float(test_pert_ctc[i]),
+                "test/pert_wer": float(test_pert_wer[i]),
+            }, step=int(best_epoch_s[i]))
+            w.close()
     # The finished norm's checkpoint is KEPT: if a multi-norm sweep is
     # preempted during a LATER norm, the requeued run resumes this norm
     # past its final epoch and goes straight to finalize instead of
