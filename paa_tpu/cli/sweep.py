@@ -611,7 +611,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
                     "ctc": scoring.best_agg(hist_i["train_ctc"], cfg.attack_mode),
                     "wer": scoring.best_agg(hist_i["train_wer"], cfg.attack_mode),
                 },
-                sweep_steps_per_sec=n_cell_steps / wall if wall else None,
+                sweep_steps_per_sec=n_cell_steps / wall if (wall and n_cell_steps) else None,
             )
 
         # written unconditionally WITH every checkpoint: an `only if
@@ -691,7 +691,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             eval_score_perturbed={"ctc": float(test_pert_ctc[i]), "wer": float(test_pert_wer[i])},
             final_test_clean={"ctc": test_clean[0], "wer": test_clean[1]},
             final_test_perturbed={"ctc": float(test_pert_ctc[i]), "wer": float(test_pert_wer[i])},
-            sweep_steps_per_sec=n_cell_steps / wall if wall else None,
+            sweep_steps_per_sec=n_cell_steps / wall if (wall and n_cell_steps) else None,
         )
         norm_summary.append({
             "size": float(size),
@@ -723,7 +723,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
         "cells": norm_summary,
         # ACTIVE-cell steps only: frozen (early-stopped) cells are not
         # live throughput even while the masked program still carries them
-        "cell_steps_per_sec": n_cell_steps / wall if wall else None,
+        "cell_steps_per_sec": n_cell_steps / wall if (wall and n_cell_steps) else None,
         "n_cell_steps": n_cell_steps,
         # cell counts the train program was (re)compiled for — a second
         # entry < S means the late-sweep drop actually engaged

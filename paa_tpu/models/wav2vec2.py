@@ -217,8 +217,10 @@ def cast_param_storage(params, storage_dtype) -> dict:
     Every kernel is cast to ``compute_dtype`` in-graph before use, so
     bf16 storage under the default bf16 compute dtype produces
     BIT-IDENTICAL outputs (pre-casting equals the in-graph cast) while
-    halving parameter HBM reads and resident bytes — the slack that lets
-    lv60 run monolithic accum=1 on a 16 GB chip (docs/PERF.md round 3).
+    halving parameter HBM reads and resident bytes (measured: base
+    4.15→4.18 steps/s, lv60 1.78→1.80 at accum=2; lv60 monolithic
+    accum=1 still does not compile even with the freed 630 MB —
+    docs/PERF.md round 3).
     Biases, norm scales, the weight-normed positional conv
     (weight_g/weight_v participate in an f32 norm), and the lm_head
     (the ONE projection applied in f32 — the head always runs f32) keep

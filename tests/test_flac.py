@@ -594,20 +594,24 @@ def test_self_test_covers_non_verbatim_paths():
         pass
 
     bad = _RejectsEverything()
-    # a kernel that rejects any golden stream fails the self-test
+    # load the REAL lib before patching: patching first would make
+    # _load_native's own self-test run against the stub, fail, and pin
+    # the ~200x-slower numpy path for the whole process
+    lib = _native_or_skip()
     orig = flac._native_call
     try:
         calls = {"n": 0}
 
-        def fake_call(lib, data):
+        def fake_call(_lib, data):
             calls["n"] += 1
             # pass the encoder probe, reject the first golden stream
-            return orig(flac._load_native(), data) if calls["n"] == 1 else None
+            return orig(lib, data) if calls["n"] == 1 else None
 
         flac._native_call = fake_call
         assert not flac._self_test(bad)
     finally:
         flac._native_call = orig
+        _reset_native_loader()
 
 
 def test_wasted_bits_exceeding_bps_is_flac_error():

@@ -213,6 +213,11 @@ def test_sweep_resume_is_exact(tmp_path):
         p_before, np.load(os.path.join(d1, "perturbation.npy"))
     )
     assert s3["linf"]["n_cell_steps"] == 0  # not one training step re-run
+    # the finalize-only rerun must NOT overwrite the recorded throughput
+    # with 0.0 (n_cell_steps==0 -> None, and save_json_results keeps the
+    # original value for None keys)
+    r = json.loads(open(os.path.join(d1, "results.json")).read())
+    assert r.get("sweep_steps_per_sec") not in (0, 0.0)
 
 
 def test_sweep_drops_frozen_cells_and_counts_active_steps(tmp_path):
