@@ -668,3 +668,41 @@ def test_streaminfo_after_other_metadata_scales_correctly():
         np.testing.assert_allclose(wave, x.astype(np.float32) / 32768.0, atol=0)
     finally:
         os.unlink(path)
+
+
+def test_fuzz_mutations_keep_the_error_contract_and_parity():
+    """Seeded fuzz over byte-mutated, truncated, and garbage streams:
+    the Python decoder raises nothing but FlacError (the
+    datasets._read_flac gate relies on it), and whenever the C kernel
+    ACCEPTS a stream the Python oracle must accept it with bit-identical
+    output — a native-accepts/python-rejects divergence would make
+    decode_flac's result depend on which path ran."""
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(12000) * 0.2).clip(-1, 1).astype(np.float32)
+    base = flac.encode_flac(wav, 16000)
+    lib = flac._load_native()
+
+    def check(data: bytes):
+        py_out = None
+        try:
+            py_out = flac.decode_flac_py(data)
+        except flac.FlacError:
+            pass  # the one allowed exception type
+        if lib is not None:
+            nat = flac._native_call(lib, data)
+            if nat is not None:
+                assert py_out is not None, "native accepted, python rejected"
+                assert nat[1] == py_out[1]
+                np.testing.assert_array_equal(nat[0], py_out[0])
+
+    for _ in range(400):  # byte mutations
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        check(bytes(data))
+    for cut in range(0, len(base), 997):  # truncations
+        check(base[:cut])
+    for t in range(100):  # garbage
+        n = int(rng.integers(0, 300))
+        data = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        check((b"fLaC" + data) if t % 2 else data)
