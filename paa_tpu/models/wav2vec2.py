@@ -229,8 +229,10 @@ def cast_param_storage(params, storage_dtype) -> dict:
     dt = jnp.dtype(storage_dtype)
 
     def _cast(path, x):
-        names = {getattr(k, "key", getattr(k, "name", None)) for k in path}
-        return x.astype(dt) if "kernel" in names and "lm_head" not in names else x
+        names = {str(getattr(k, "key", getattr(k, "name", ""))) for k in path}
+        # "kernel" (Dense/_ProjParams) and "conv_kernel" (FE conv stack)
+        is_kernel = any("kernel" in n for n in names)
+        return x.astype(dt) if is_kernel and "lm_head" not in names else x
 
     return jax.tree_util.tree_map_with_path(_cast, params)
 

@@ -209,7 +209,7 @@ def test_bf16_param_storage_bit_identical_under_bf16_compute():
     nb16 = sum(x.nbytes for x in jax.tree.leaves(params16))
     # tiny has a larger non-kernel fraction than base/lv60 (where
     # kernels are >99% of bytes and the ratio approaches 0.5)
-    assert nb16 < 0.75 * nb
+    assert nb16 < 0.65 * nb
     # non-kernel leaves untouched
     from jax.tree_util import tree_flatten_with_path, keystr
     for path, x in tree_flatten_with_path(params16)[0]:
