@@ -65,10 +65,64 @@ def render(rows: list[dict]) -> str:
     return "\n".join(lines)
 
 
+def plot(rows: list[dict], out_dir: str) -> list[str]:
+    """Constraint-size sweep curves per (norm, mode, dataset): perturbed
+    test CTC/WER vs epsilon with the clean baseline as a dashed line —
+    the CTC-vs-constraint view behind the paper's Table 1
+    (reference: paper/report.pdf p.9; the committed ``data_plots/
+    grab_results.py`` that would have drawn it was never shipped)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    groups: dict[tuple, list[dict]] = {}
+    for r in rows:
+        if r["attack_size"] is None or r["pert_ctc"] is None:
+            continue
+        try:
+            float(r["attack_size"])
+        except (TypeError, ValueError):
+            continue
+        key = (r["norm_type"], r["attack_mode"], r["dataset"])
+        groups.setdefault(key, []).append(r)
+    written = []
+    for (norm, mode, dataset), rs in sorted(groups.items()):
+        rs = sorted(rs, key=lambda r: float(r["attack_size"]))
+        sizes = [float(r["attack_size"]) for r in rs]
+        for metric, label in (("ctc", "CTC loss (sum)"), ("wer", "WER")):
+            vals = [r[f"pert_{metric}"] for r in rs]
+            if any(v is None for v in vals):
+                continue
+            plt.figure(figsize=(7, 4))
+            plt.plot(sizes, vals, marker="o",
+                     label=f"perturbed test {metric.upper()}")
+            clean = [r[f"clean_{metric}"] for r in rs
+                     if r[f"clean_{metric}"] is not None]
+            if clean:
+                plt.axhline(sum(clean) / len(clean), linestyle="--",
+                            color="gray", label=f"clean {metric.upper()}")
+            plt.xlabel(f"{norm} constraint size")
+            plt.ylabel(label)
+            plt.title(f"{norm} sweep — {mode}, {dataset}")
+            plt.grid(True)
+            plt.legend()
+            plt.tight_layout()
+            path = os.path.join(out_dir, f"{norm}_{mode}_{dataset}_{metric}.png")
+            plt.savefig(path)
+            plt.close()
+            written.append(path)
+    return written
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="logs", help="logs root to walk")
     ap.add_argument("--json", default=None, help="also write aggregate JSON here")
+    ap.add_argument("--plot", default=None, metavar="DIR",
+                    help="also write per-norm epsilon-sweep curves "
+                         "(perturbed CTC/WER vs constraint size) here")
     args = ap.parse_args()
     rows = collect(args.root)
     if not rows:
@@ -78,6 +132,9 @@ def main() -> int:
     if args.json:
         with open(args.json, "w") as f:
             json.dump(rows, f, indent=2)
+    if args.plot:
+        for path in plot(rows, args.plot):
+            print("wrote", path)
     return 0
 
 

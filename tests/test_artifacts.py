@@ -110,3 +110,34 @@ def test_stft_plot_writes_pngs(tmp_path):
     if artifacts.HAVE_MPL:
         assert os.path.exists(tmp_path / "p_linear.png")
         assert os.path.exists(tmp_path / "p_log.png")
+
+
+def test_aggregate_plot_writes_sweep_curves(tmp_path):
+    """`aggregate --plot` draws per-norm epsilon-vs-CTC/WER curves from
+    collected results.json files (the view behind the reference paper's
+    Table 1; its grab_results.py was never committed)."""
+    import json as _json
+
+    from paa_tpu.cli import aggregate
+
+    root = tmp_path / "logs"
+    for size, ctc in ((15.0, 1700.0), (25.0, 1900.0), (35.0, 2100.0)):
+        d = root / "untargeted" / "synthetic" / f"max_phon_{size}_untargeted_pgd"
+        os.makedirs(d)
+        with open(d / "results.json", "w") as f:
+            _json.dump({
+                "norm_type": "max_phon", "attack_size": size,
+                "finished_training": True,
+                "final_test_clean": {"ctc": 1589.0, "wer": 0.41},
+                "final_test_perturbed": {"ctc": ctc, "wer": 0.5},
+            }, f)
+    rows = aggregate.collect(str(root))
+    assert len(rows) == 3
+    written = aggregate.plot(rows, str(tmp_path / "plots"))
+    names = sorted(os.path.basename(p) for p in written)
+    assert names == [
+        "max_phon_untargeted_synthetic_ctc.png",
+        "max_phon_untargeted_synthetic_wer.png",
+    ]
+    for p in written:
+        assert os.path.getsize(p) > 0
