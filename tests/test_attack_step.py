@@ -458,3 +458,41 @@ def test_every_norm_through_the_fused_step(setup, norm):
     rel = float(jnp.linalg.norm(p2 - p) / (jnp.linalg.norm(p) + 1e-9))
     tol = 0.35 if norm in ("min_max_freqs", "fletcher_munson", "max_phon") else 1e-4
     assert rel < tol, (norm, rel)
+
+
+def test_sweep_step_fm_adam_on_mesh_matches_single(setup):
+    """The psychoacoustic (STFT-domain fletcher_munson) projection and
+    Adam optimizer state cross the (sweep x data) mesh correctly: each
+    cell of a 4-cell fm sweep equals the single-device Adam step run at
+    that cell's epsilon (the pinned twin of __graft_entry__'s
+    dryrun_multichip check)."""
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig(norm_type="fletcher_munson", optimizer_type="adam", lr=1e-2)
+    tables = psycho.build_tables(cfg)
+    epsilons = np.asarray([0.5, 1.0, 2.0, 4.0], dtype=np.float32)
+    S = len(epsilons)
+    base = ConstraintParams.create()
+    cparams_s = jax.tree.map(lambda x: jnp.broadcast_to(x, (S,)), base)
+    cparams_s = cparams_s._replace(fm_epsilon=jnp.asarray(epsilons))
+
+    mesh = mesh_lib.sweep_mesh(n_sweep=4, n_devices=8)
+    sweep = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
+    p_s = jnp.zeros((S, 1, T), jnp.float32)
+    opt_s = jax.vmap(lambda p: optimizers.init_opt_state(cfg, p))(p_s)
+    w = jnp.ones((B,), jnp.float32)
+    active = jnp.ones((S,), jnp.float32)
+    lr = jnp.float32(cfg.lr)
+    for _ in range(2):  # two steps so Adam moments are non-trivial
+        p_s, opt_s, m = sweep(
+            params, p_s, opt_s, audio, labels, pads, w, cparams_s, active, lr
+        )
+    assert bool(jnp.all(jnp.isfinite(p_s)))
+
+    single = attack_step.make_train_step(cfg, apply_fn, tables)
+    p1 = jnp.zeros((1, T), jnp.float32)
+    opt1 = optimizers.init_opt_state(cfg, p1)
+    cp1 = base._replace(fm_epsilon=jnp.float32(epsilons[1]))
+    for _ in range(2):
+        p1, opt1, m1 = single(params, p1, opt1, audio, labels, pads, w, cp1, lr)
+    np.testing.assert_allclose(np.asarray(p_s[1]), np.asarray(p1), atol=2e-6)
+    np.testing.assert_allclose(float(m.ctc_loss[1]), float(m1.ctc_loss), rtol=1e-4)
