@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -93,28 +92,14 @@ CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", "2"))
 
 
 def _probe_backend() -> str | None:
-    """Tiny device computation in a watchdogged subprocess.
+    """Backend name from a watchdogged subprocess probe, None on hang
+    or crash (shared logic: paa_tpu.runtime.probe_device)."""
+    from paa_tpu.runtime import probe_device
 
-    Returns the backend name (``"tpu"``/``"cpu"``/…) on success, or
-    ``None`` if the probe hung past ``PROBE_TIMEOUT`` or crashed.
-    """
-    code = (
-        "import jax, jax.numpy as jnp\n"
-        "x = jnp.ones((128, 128))\n"
-        "s = float((x @ x).sum())\n"
-        "print('PROBE_OK', jax.default_backend(), s)\n"
-    )
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=PROBE_TIMEOUT,
-        )
-    except subprocess.TimeoutExpired:
+        return probe_device(timeout=PROBE_TIMEOUT)
+    except RuntimeError:
         return None
-    for line in r.stdout.splitlines():
-        if line.startswith("PROBE_OK "):
-            return line.split()[1]
-    return None
 
 
 def _reexec_cpu_fallback(reason: str) -> "None":

@@ -108,6 +108,15 @@ def create_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--platform", type=str, default=None,
                         choices=[None, "tpu", "cpu"],
                         help="force a JAX platform (default: auto)")
+    parser.add_argument("--device_probe_timeout", type=float, default=900,
+                        help="before touching the accelerator, probe it from a "
+                             "watchdogged subprocess and fail fast (failure "
+                             "results.json + exit 1) if it hangs this many "
+                             "seconds — a down TPU tunnel otherwise blocks the "
+                             "first device op FOREVER with no error. Default "
+                             "900 s rides out the ~8 min grant-stickiness of a "
+                             "freshly killed TPU process; 0 disables the probe. "
+                             "Skipped when --platform cpu")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--param_storage", type=str, default=None,

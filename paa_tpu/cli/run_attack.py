@@ -135,13 +135,29 @@ def main(args) -> int:
     log_helpers.log_args(log, vars(args))
     log.info("norm_type=%s | attack_size=%s", args.norm_type, args.attack_size_string)
 
-    jax = setup_jax(args.platform)
-    log.info("devices: %s", jax.devices())
-
-    cfg = parser_lib.config_from_args(args)
-    cparams = parser_lib.constraint_params_from_args(args)
-
     try:
+        # Fail fast (with a failure results.json) when the accelerator is
+        # unreachable — a down TPU tunnel otherwise hangs the first device
+        # op forever with no error (see runtime.probe_device). Must run
+        # BEFORE anything that initializes the in-process backend (even
+        # config_from_args touches jax.default_backend()). Skipped when
+        # this process already has live backends (in-process callers/
+        # tests) or the run is pinned to the host CPU.
+        from paa_tpu import runtime
+
+        if (
+            getattr(args, "device_probe_timeout", 0)
+            and args.platform != "cpu"
+            and not runtime.backends_initialized()
+        ):
+            backend = runtime.probe_device(timeout=args.device_probe_timeout)
+            log.info("device probe ok: %s", backend)
+        jax = setup_jax(args.platform)
+        log.info("devices: %s", jax.devices())
+
+        cfg = parser_lib.config_from_args(args)
+        cparams = parser_lib.constraint_params_from_args(args)
+
         samples = datasets.load_dataset_tuples(
             args.dataset,
             seed=args.seed,

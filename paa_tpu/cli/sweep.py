@@ -739,7 +739,18 @@ def main() -> int:
 
     root = args.save_root or os.path.join(os.getcwd(), "logs")
     os.makedirs(root, exist_ok=True)
-    log_helpers.setup_logging(root, log_name="sweep.log")
+    log = log_helpers.setup_logging(root, log_name="sweep.log")
+    # Fail fast when the accelerator is unreachable (down TPU tunnel =
+    # infinite hang at the first device op) — see runtime.probe_device.
+    from paa_tpu import runtime
+
+    if (
+        getattr(args, "device_probe_timeout", 0)
+        and args.platform != "cpu"
+        and not runtime.backends_initialized()
+    ):
+        log.info("device probe ok: %s",
+                 runtime.probe_device(timeout=args.device_probe_timeout))
     setup_jax(args.platform)
     run_sweep(args)
     return 0

@@ -19,8 +19,60 @@ backend initialization).
 from __future__ import annotations
 
 import os
+import subprocess
+import sys
 
 _LHS_FLAG = "--xla_disable_hlo_passes=latency-hiding-scheduler"
+
+
+def backends_initialized() -> bool:
+    """True when this process already has live JAX backends (so a
+    reachability probe would be redundant — any hang already happened)."""
+    from jax._src import xla_bridge
+
+    return bool(xla_bridge.backends_are_initialized())
+
+
+def probe_device(timeout: float = 900.0) -> str:
+    """Fail fast when the accelerator is unreachable instead of hanging.
+
+    The TPU arrives over a tunnel that can be down for hours; in that
+    state the first device op of ANY default-platform process blocks
+    forever with no error (observed 2026-08-18). A hung call inside this
+    process cannot be cancelled, so the probe runs a 1-op computation in
+    a SUBPROCESS with a hard timeout and raises an actionable
+    ``RuntimeError`` if it never returns. The default budget (15 min)
+    rides out the ~8 min grant-stickiness a freshly killed TPU process
+    leaves behind; a healthy backend answers in seconds.
+
+    Returns the backend name (``"tpu"``/``"cpu"``/…) on success.
+    """
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128))\n"
+        "s = float((x @ x).sum())\n"
+        "print('PROBE_OK', jax.default_backend(), s)\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"device probe hung for {timeout:.0f}s — the accelerator "
+            "backend is unreachable (TPU tunnel outage or a stuck device "
+            "grant). Re-run with --platform cpu to use the host, or "
+            "--device_probe_timeout 0 to skip this check and wait "
+            "indefinitely."
+        )
+    for line in r.stdout.splitlines():
+        if line.startswith("PROBE_OK "):
+            return line.split()[1]
+    raise RuntimeError(
+        "device probe failed before reaching the backend:\n"
+        + (r.stderr or r.stdout)[-1000:]
+    )
 
 
 def configure(cache_dir: str | None = None, disable_lhs: bool | None = None) -> None:

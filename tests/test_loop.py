@@ -58,7 +58,7 @@ def test_run_attack_end_to_end(tmp_path, bundle):
     ]:
         assert os.path.exists(tmp_path / f), f
     results = json.loads((tmp_path / "results.json").read_text())
-    assert results["finished_training"] == 1.0
+    assert results["finished_training"] is True
     assert "perturbation_efficiency" in results
     assert results["perturbation_efficiency"]["ctc"] > 1.0
     # inspection triple

@@ -151,7 +151,7 @@ def test_one_cell_sweep_matches_run_attack(tmp_path):
     )
     # results.json parity on the final test metrics
     r = json.loads(open(os.path.join(cell["dir"], "results.json")).read())
-    assert r["finished_training"] == 1.0
+    assert r["finished_training"] is True
     np.testing.assert_allclose(
         r["final_test_perturbed"]["ctc"], res.test_perturbed.ctc, rtol=1e-3
     )
