@@ -91,15 +91,16 @@ CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", "2"))
 CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", "2"))
 
 
-def _probe_backend() -> str | None:
-    """Backend name from a watchdogged subprocess probe, None on hang
-    or crash (shared logic: paa_tpu.runtime.probe_device)."""
+def _probe_backend() -> "tuple[str | None, str | None]":
+    """(backend, error) from a watchdogged subprocess probe — backend is
+    None on hang or crash, with the actual cause in error (shared logic:
+    paa_tpu.runtime.probe_device)."""
     from paa_tpu.runtime import probe_device
 
     try:
-        return probe_device(timeout=PROBE_TIMEOUT)
-    except RuntimeError:
-        return None
+        return probe_device(timeout=PROBE_TIMEOUT), None
+    except RuntimeError as e:
+        return None, str(e)
 
 
 def _reexec_cpu_fallback(reason: str) -> "None":
@@ -108,6 +109,8 @@ def _reexec_cpu_fallback(reason: str) -> "None":
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["BENCH_CPU_FALLBACK"] = "1"
+    # first line of the reason, machine-readable in the fallback JSON
+    env["BENCH_FALLBACK_REASON"] = reason.splitlines()[0][:200]
     env["BENCH_BATCH"] = str(CPU_BATCH)
     env["BENCH_STEPS"] = str(CPU_STEPS)
     env["BENCH_ATTN"] = "xla"          # Pallas kernels are TPU-only
@@ -120,12 +123,11 @@ def _reexec_cpu_fallback(reason: str) -> "None":
 
 def main() -> int:
     platforms = os.environ.get("JAX_PLATFORMS", "")
-    if not CPU_FALLBACK and not SKIP_PROBE and "cpu" not in platforms:
-        backend = _probe_backend()
+    pin_cpu = CPU_FALLBACK or "cpu" in platforms
+    if not pin_cpu and not SKIP_PROBE:
+        backend, err = _probe_backend()
         if backend is None:
-            _reexec_cpu_fallback(
-                "device probe hung %ds (TPU tunnel unreachable)" % PROBE_TIMEOUT
-            )
+            _reexec_cpu_fallback(f"device probe failed: {err}")
             return 1  # unreachable (execve), keeps type checkers honest
         if backend == "cpu":
             _reexec_cpu_fallback("no accelerator visible (backend=cpu)")
@@ -136,10 +138,12 @@ def main() -> int:
     runtime.configure()
     import jax
 
-    if CPU_FALLBACK:
+    if pin_cpu:
         # The container's sitecustomize force-registers the TPU plugin
         # and pins jax_platforms at interpreter start; the env var alone
-        # does not win (same pin as tests/conftest.py).
+        # does not win (same pin as tests/conftest.py) — so a user's
+        # JAX_PLATFORMS=cpu must ALSO be enforced here or the bench
+        # would silently run on (or hang against) the TPU backend.
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
@@ -204,17 +208,18 @@ def main() -> int:
 
     steps_per_sec = 1.0 / dt
     if CPU_FALLBACK:
-        # Honest degraded mode: the TPU tunnel was unreachable at bench
-        # time, so this is the SAME fused program on the host CPU at a
-        # reduced batch, compared per-SAMPLE against the CPU-measured
-        # eager-torch baseline (same hardware, same comparison basis).
+        # Honest degraded mode: the accelerator was unusable at bench
+        # time (the exact cause is in "fallback_reason"), so this is the
+        # SAME fused program on the host CPU at a reduced batch, compared
+        # per-SAMPLE against the CPU-measured eager-torch baseline (same
+        # hardware, same comparison basis).
         samples_per_sec = B / dt
         print(
             json.dumps(
                 {
                     "metric": (
-                        f"attack samples/sec, CPU FALLBACK — TPU tunnel "
-                        f"unreachable at bench time ({MODEL}, B={B}, "
+                        f"attack samples/sec, CPU FALLBACK — accelerator "
+                        f"unusable at bench time ({MODEL}, B={B}, "
                         f"{T/16000:.0f}s audio, {NORM} {OPT.upper()})"
                     ),
                     "value": round(samples_per_sec, 4),
@@ -226,9 +231,12 @@ def main() -> int:
                     "baseline_source": (
                         "measured CPU eager hot loop (tools/baseline_torch.py)"
                     ),
+                    "fallback_reason": os.environ.get(
+                        "BENCH_FALLBACK_REASON", "unrecorded"
+                    ),
                     "note": (
-                        "last measured on-chip: 4.18 steps/s at B=64 "
-                        "(vs_baseline 497.6; docs/PERF.md, 2026-08-17)"
+                        "for the last on-chip steps/s measurement see "
+                        "PARITY.md and docs/PERF.md"
                     ),
                 }
             )
@@ -239,7 +247,8 @@ def main() -> int:
             {
                 "metric": (
                     f"attack steps/sec/chip ({MODEL}, B={B}, {T/16000:.0f}s "
-                    f"audio, {NORM} {OPT.upper()}, fused fwd+bwd+project)"
+                    f"audio, {NORM} {OPT.upper()}, fused fwd+bwd+project, "
+                    f"backend={jax.default_backend()})"
                 ),
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/sec",

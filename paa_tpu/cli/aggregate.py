@@ -26,11 +26,16 @@ def collect(root: str) -> list[dict]:
             continue
         rel = os.path.relpath(dirpath, root)
         parts = rel.split(os.sep)
+        # run dirs are named {norm}_{size}_{mode}_{opt} (cli/run_attack.
+        # make_save_dir) — the optimizer only lives in the dir name
+        leaf = parts[-1]
+        optimizer = leaf.rsplit("_", 1)[-1] if "_" in leaf else "?"
         rows.append(
             {
                 "run": rel,
                 "attack_mode": parts[0] if len(parts) > 2 else "?",
                 "dataset": parts[1] if len(parts) > 2 else "?",
+                "optimizer": optimizer,
                 "norm_type": r.get("norm_type", "?"),
                 "attack_size": r.get("attack_size"),
                 "finished": bool(r.get("finished_training", False)),
@@ -70,11 +75,20 @@ def plot(rows: list[dict], out_dir: str) -> list[str]:
     test CTC/WER vs epsilon with the clean baseline as a dashed line —
     the CTC-vs-constraint view behind the paper's Table 1
     (reference: paper/report.pdf p.9; the committed ``data_plots/
-    grab_results.py`` that would have drawn it was never shipped)."""
-    import matplotlib
+    grab_results.py`` that would have drawn it was never shipped).
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    matplotlib is an optional extra (pyproject ``[plots]``); without it
+    the table/JSON outputs still work and plotting degrades to a notice
+    (same policy as train/artifacts.HAVE_MPL)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("aggregate --plot: matplotlib not installed "
+              "(pip install 'paa-tpu[plots]'); skipping sweep curves")
+        return []
 
     os.makedirs(out_dir, exist_ok=True)
     groups: dict[tuple, list[dict]] = {}
@@ -85,10 +99,12 @@ def plot(rows: list[dict], out_dir: str) -> list[str]:
             float(r["attack_size"])
         except (TypeError, ValueError):
             continue
-        key = (r["norm_type"], r["attack_mode"], r["dataset"])
+        # optimizer must split groups: pgd and adam runs of the same
+        # norm are different experiments, not one epsilon sweep
+        key = (r["norm_type"], r["attack_mode"], r["dataset"], r["optimizer"])
         groups.setdefault(key, []).append(r)
     written = []
-    for (norm, mode, dataset), rs in sorted(groups.items()):
+    for (norm, mode, dataset, opt), rs in sorted(groups.items()):
         rs = sorted(rs, key=lambda r: float(r["attack_size"]))
         sizes = [float(r["attack_size"]) for r in rs]
         for metric, label in (("ctc", "CTC loss (sum)"), ("wer", "WER")):
@@ -105,11 +121,13 @@ def plot(rows: list[dict], out_dir: str) -> list[str]:
                             color="gray", label=f"clean {metric.upper()}")
             plt.xlabel(f"{norm} constraint size")
             plt.ylabel(label)
-            plt.title(f"{norm} sweep — {mode}, {dataset}")
+            plt.title(f"{norm} sweep — {mode}, {dataset}, {opt}")
             plt.grid(True)
             plt.legend()
             plt.tight_layout()
-            path = os.path.join(out_dir, f"{norm}_{mode}_{dataset}_{metric}.png")
+            path = os.path.join(
+                out_dir, f"{norm}_{mode}_{dataset}_{opt}_{metric}.png"
+            )
             plt.savefig(path)
             plt.close()
             written.append(path)

@@ -138,20 +138,14 @@ def main(args) -> int:
     try:
         # Fail fast (with a failure results.json) when the accelerator is
         # unreachable — a down TPU tunnel otherwise hangs the first device
-        # op forever with no error (see runtime.probe_device). Must run
+        # op forever with no error (see runtime.maybe_probe). Must run
         # BEFORE anything that initializes the in-process backend (even
-        # config_from_args touches jax.default_backend()). Skipped when
-        # this process already has live backends (in-process callers/
-        # tests) or the run is pinned to the host CPU.
+        # config_from_args touches jax.default_backend()).
         from paa_tpu import runtime
 
-        if (
-            getattr(args, "device_probe_timeout", 0)
-            and args.platform != "cpu"
-            and not runtime.backends_initialized()
-        ):
-            backend = runtime.probe_device(timeout=args.device_probe_timeout)
-            log.info("device probe ok: %s", backend)
+        runtime.maybe_probe(
+            args.platform, getattr(args, "device_probe_timeout", 0), log=log
+        )
         jax = setup_jax(args.platform)
         log.info("devices: %s", jax.devices())
 

@@ -741,16 +741,21 @@ def main() -> int:
     os.makedirs(root, exist_ok=True)
     log = log_helpers.setup_logging(root, log_name="sweep.log")
     # Fail fast when the accelerator is unreachable (down TPU tunnel =
-    # infinite hang at the first device op) — see runtime.probe_device.
+    # infinite hang at the first device op) — see runtime.maybe_probe.
+    # A probe failure leaves a machine-readable marker (the per-cell
+    # results.json never got written, so drivers need SOMETHING) and
+    # exits 1, mirroring run_attack's failure contract.
     from paa_tpu import runtime
 
-    if (
-        getattr(args, "device_probe_timeout", 0)
-        and args.platform != "cpu"
-        and not runtime.backends_initialized()
-    ):
-        log.info("device probe ok: %s",
-                 runtime.probe_device(timeout=args.device_probe_timeout))
+    try:
+        runtime.maybe_probe(
+            args.platform, getattr(args, "device_probe_timeout", 0), log=log
+        )
+    except RuntimeError as e:
+        log.error("device probe failed: %s", e)
+        with open(os.path.join(root, "sweep_failure.json"), "w") as f:
+            json.dump({"finished_training": False, "error": str(e)}, f, indent=2)
+        return 1
     setup_jax(args.platform)
     run_sweep(args)
     return 0

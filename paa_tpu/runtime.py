@@ -27,13 +27,22 @@ _LHS_FLAG = "--xla_disable_hlo_passes=latency-hiding-scheduler"
 
 def backends_initialized() -> bool:
     """True when this process already has live JAX backends (so a
-    reachability probe would be redundant — any hang already happened)."""
-    from jax._src import xla_bridge
+    reachability probe would be redundant — any hang already happened).
 
-    return bool(xla_bridge.backends_are_initialized())
+    Uses a private jax API (no public equivalent exists); if a jax
+    upgrade moves it, fall back to False — a redundant subprocess probe
+    costs seconds, whereas True would silently disable the fail-fast
+    guard.
+    """
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge.backends_are_initialized())
+    except (ImportError, AttributeError):
+        return False
 
 
-def probe_device(timeout: float = 900.0) -> str:
+def probe_device(timeout: float = 900.0, platform: str | None = None) -> str:
     """Fail fast when the accelerator is unreachable instead of hanging.
 
     The TPU arrives over a tunnel that can be down for hours; in that
@@ -46,9 +55,19 @@ def probe_device(timeout: float = 900.0) -> str:
     leaves behind; a healthy backend answers in seconds.
 
     Returns the backend name (``"tpu"``/``"cpu"``/…) on success.
+
+    ``platform`` pins the subprocess to that backend via the jax config
+    (the env var does not win against the container sitecustomize).
+    Tests use ``platform="cpu"`` so a watchdog-killed probe can never be
+    mid-TPU-acquisition (a killed TPU process sticks the single-tenant
+    chip ~8 min).
     """
+    pin = (
+        f"jax.config.update('jax_platforms', {platform!r})\n" if platform else ""
+    )
     code = (
-        "import jax, jax.numpy as jnp\n"
+        "import jax\n" + pin +
+        "import jax.numpy as jnp\n"
         "x = jnp.ones((128, 128))\n"
         "s = float((x @ x).sum())\n"
         "print('PROBE_OK', jax.default_backend(), s)\n"
@@ -73,6 +92,24 @@ def probe_device(timeout: float = 900.0) -> str:
         "device probe failed before reaching the backend:\n"
         + (r.stderr or r.stdout)[-1000:]
     )
+
+
+def maybe_probe(platform: str | None, timeout: float, log=None) -> str | None:
+    """The CLIs' shared probe policy: probe the accelerator (fail-fast,
+    see probe_device) unless the run is pinned to the host CPU, the
+    timeout is 0/unset, or this process already has live backends
+    (in-process callers/tests — any hang already happened).
+
+    Returns the probed backend name, or None when the probe was skipped.
+    Raises RuntimeError (from probe_device) when the accelerator is
+    unreachable.
+    """
+    if not timeout or platform == "cpu" or backends_initialized():
+        return None
+    backend = probe_device(timeout=timeout)
+    if log is not None:
+        log.info("device probe ok: %s", backend)
+    return backend
 
 
 def configure(cache_dir: str | None = None, disable_lhs: bool | None = None) -> None:

@@ -131,13 +131,27 @@ def test_aggregate_plot_writes_sweep_curves(tmp_path):
                 "final_test_clean": {"ctc": 1589.0, "wer": 0.41},
                 "final_test_perturbed": {"ctc": ctc, "wer": 0.5},
             }, f)
+    # an adam run of the same norm is a DIFFERENT experiment: it must
+    # become its own curve, never merged into the pgd sweep
+    d = root / "untargeted" / "synthetic" / "max_phon_25.0_untargeted_adam"
+    os.makedirs(d)
+    with open(d / "results.json", "w") as f:
+        _json.dump({
+            "norm_type": "max_phon", "attack_size": 25.0,
+            "finished_training": True,
+            "final_test_clean": {"ctc": 1589.0, "wer": 0.41},
+            "final_test_perturbed": {"ctc": 1650.0, "wer": 0.45},
+        }, f)
     rows = aggregate.collect(str(root))
-    assert len(rows) == 3
+    assert len(rows) == 4
+    assert sorted({r["optimizer"] for r in rows}) == ["adam", "pgd"]
     written = aggregate.plot(rows, str(tmp_path / "plots"))
     names = sorted(os.path.basename(p) for p in written)
     assert names == [
-        "max_phon_untargeted_synthetic_ctc.png",
-        "max_phon_untargeted_synthetic_wer.png",
+        "max_phon_untargeted_synthetic_adam_ctc.png",
+        "max_phon_untargeted_synthetic_adam_wer.png",
+        "max_phon_untargeted_synthetic_pgd_ctc.png",
+        "max_phon_untargeted_synthetic_pgd_wer.png",
     ]
     for p in written:
         assert os.path.getsize(p) > 0

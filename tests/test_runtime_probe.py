@@ -17,10 +17,20 @@ from paa_tpu import runtime
 
 
 def test_probe_timeout_raises_actionable_error():
-    # 1 s is always shorter than the probe subprocess's own `import jax`,
-    # so the watchdog fires deterministically without a hung tunnel.
+    # 0.5 s is always shorter than the probe subprocess's own python
+    # startup + `import jax`, so the watchdog fires deterministically
+    # without a hung tunnel. platform="cpu" pins the child so a killed
+    # probe can never be mid-TPU-acquisition (a killed TPU process
+    # sticks the single-tenant chip ~8 min — never risk that from the
+    # fast suite).
     with pytest.raises(RuntimeError, match="--platform cpu"):
-        runtime.probe_device(timeout=1)
+        runtime.probe_device(timeout=0.5, platform="cpu")
+
+
+def test_probe_succeeds_on_cpu_platform():
+    # With a sane budget the CPU-pinned probe completes and reports the
+    # pinned backend — the success contract the CLIs rely on.
+    assert runtime.probe_device(timeout=120, platform="cpu") == "cpu"
 
 
 def test_backends_initialized_flips_after_first_device_use():
@@ -55,6 +65,30 @@ def test_run_attack_probe_failure_writes_failure_json(tmp_path, monkeypatch):
     )))
     assert results["finished_training"] is False
     assert "device probe hung for 7s" in results["error"]
+
+
+def test_sweep_probe_failure_writes_marker_and_exits_1(tmp_path, monkeypatch):
+    """A probe failure before any cell runs must still leave a
+    machine-readable artifact (no per-cell results.json exists yet) and
+    exit 1 — mirroring run_attack's failure contract."""
+    import sys
+
+    from paa_tpu.cli import sweep
+
+    monkeypatch.setattr(runtime, "backends_initialized", lambda: False)
+
+    def boom(timeout):
+        raise RuntimeError(f"device probe hung for {timeout:.0f}s")
+
+    monkeypatch.setattr(runtime, "probe_device", boom)
+    monkeypatch.setattr(sys, "argv", [
+        "sweep", "--norms", "linf", "--save_root", str(tmp_path),
+        "--device_probe_timeout", "9",
+    ])
+    assert sweep.main() == 1
+    marker = json.load(open(os.path.join(tmp_path, "sweep_failure.json")))
+    assert marker["finished_training"] is False
+    assert "device probe hung for 9s" in marker["error"]
 
 
 def test_run_attack_skips_probe_when_backends_live(tmp_path, monkeypatch):
