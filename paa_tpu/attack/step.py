@@ -168,13 +168,22 @@ def make_eval_step(cfg: AttackConfig, apply_fn: Callable) -> Callable:
 # ---------------------------------------------------------------------------
 
 
-def make_sharded_eval_step(cfg: AttackConfig, apply_fn: Callable, mesh: Mesh) -> Callable:
+def make_sharded_eval_step(
+    cfg: AttackConfig,
+    apply_fn: Callable,
+    mesh: Mesh,
+    params_sharding: Any | None = None,
+) -> Callable:
     """Data-parallel eval step over ``mesh``: batch sharded along
     ``"data"``, ``p``/params replicated, the summed CTC loss all-reduced
     by XLA over ICI. Same semantics as :func:`make_eval_step` (unclamped
     add; reference: src/training_utils/evaluation.py:15-16) — on an
     N-chip slice the clean and perturbed eval passes use every chip
-    instead of leaving N-1 idle."""
+    instead of leaving N-1 idle.
+
+    ``params_sharding``: optional pytree of NamedShardings for the frozen
+    model params (parallel/tp.py Megatron layout on a ``model`` mesh
+    axis); default fully replicated."""
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
 
@@ -183,7 +192,7 @@ def make_sharded_eval_step(cfg: AttackConfig, apply_fn: Callable, mesh: Mesh) ->
 
     return jax.jit(
         eval_step,
-        in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, batch_sh),
+        in_shardings=(params_sharding or repl, repl, batch_sh, batch_sh, batch_sh, batch_sh),
         out_shardings=StepMetrics(ctc_loss=repl, greedy_ids=batch_sh),
     )
 
@@ -193,12 +202,18 @@ def make_sharded_step(
     apply_fn: Callable,
     tables: PsychoTables,
     mesh: Mesh,
+    params_sharding: Any | None = None,
 ) -> Callable:
     """Data-parallel train step over ``mesh`` (axis name ``"data"``).
 
     Shardings:
       * audio/labels/ids: batch axis over ``data``
-      * p, opt_state, model params, tables: replicated
+      * p, opt_state, tables: replicated
+      * model params: replicated by default; pass ``params_sharding``
+        (a pytree of NamedShardings from parallel/tp.py) on a
+        ``(data, model)`` mesh for Megatron tensor parallelism — XLA
+        partitions every encoder matmul over the ``model`` axis and
+        inserts the per-branch all-reduces.
     The gradient of the *summed* CTC loss w.r.t. the replicated ``p`` is
     an all-reduce XLA inserts over ICI automatically.
     """
@@ -211,7 +226,7 @@ def make_sharded_step(
 
     return jax.jit(
         train_step,
-        in_shardings=(repl, repl, repl, batch_sh, batch_sh, batch_sh, batch_sh, repl, repl),
+        in_shardings=(params_sharding or repl, repl, repl, batch_sh, batch_sh, batch_sh, batch_sh, repl, repl),
         out_shardings=(repl, repl, StepMetrics(ctc_loss=repl, greedy_ids=batch_sh)),
         donate_argnums=(1, 2),
     )

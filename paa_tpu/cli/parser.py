@@ -151,6 +151,15 @@ def create_arg_parser() -> argparse.ArgumentParser:
                              "numerically identical to the monolithic step). On one "
                              "16 GB chip at batch 64 x 10s audio use 2 for "
                              "wav2vec2-base, 8 for wav2vec2-large-lv60")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel shards for the frozen encoder "
+                             "(Megatron layout, parallel/tp.py): q/k/v + FFN-in "
+                             "column-sharded, out/FFN-out row-sharded over a "
+                             "'model' mesh axis; the remaining devices form the "
+                             "data axis. Must divide the device count, the "
+                             "model's attention heads and its FFN hidden. Use "
+                             "on multi-chip slices when lv60 activations at "
+                             "production batch outgrow per-chip HBM")
     parser.add_argument("--use_pallas_fm", action="store_true", default=None,
                         help="fused Pallas kernel for the Fletcher-Munson weighted "
                              "norm (default: ON on TPU, OFF elsewhere)")
@@ -246,6 +255,7 @@ def config_from_args(args) -> AttackConfig:
         remat=remat,
         accum_steps=args.accum_steps,
         use_pallas_fm=pallas_fm,
+        tp=getattr(args, "tp", 1),
         cache_data_on_device=device_cache,
     )
 

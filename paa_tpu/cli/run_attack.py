@@ -92,6 +92,15 @@ def load_model_bundle(args):
         # clips, dense XLA off-TPU — resolved per traced shape so
         # default-flag runs on long audio degrade instead of erroring
         attention_impl = "auto"
+    if getattr(args, "tp", 1) > 1 and attention_impl in ("auto", "fused", "flash"):
+        # Under tensor parallelism the q/k/v activations are head-sharded
+        # over the `model` mesh axis; a pallas_call can't be GSPMD-
+        # partitioned there, so the dense XLA attention (which GSPMD
+        # partitions per-head for free) is the correct kernel.
+        if args.attention_impl not in (None, "xla"):
+            log.warning("--tp > 1 forces attention_impl=xla (Pallas kernels "
+                        "don't partition over the model axis)")
+        attention_impl = "xla"
     remat, remat_policy, _ = parser_lib.resolve_perf_defaults(args)
     mcfg = wav2vec2.get_config(
         args.model,

@@ -180,6 +180,14 @@ def run_sweep(args) -> dict:
     from paa_tpu.data import datasets, pipeline as pipeline_lib
 
     log = logging.getLogger("paa_tpu")
+    if getattr(args, "tp", 1) > 1:
+        # The sweep runs on a (sweep, data) mesh; a third `model` axis is
+        # not wired. Fail loudly instead of silently training unsharded —
+        # use run_attack --tp per cell (or cli.launch_grid) for tp runs.
+        raise SystemExit(
+            "--tp > 1 is not supported by cli.sweep (its mesh axes are "
+            "(sweep, data)); run cells individually via run_attack --tp"
+        )
     grids = dict(DEFAULT_GRIDS)
     if args.grid:
         grids.update(json.loads(args.grid))

@@ -96,6 +96,13 @@ class AttackConfig:
     # either way
     use_pallas_fm: bool = False
 
+    # Tensor-parallel shards for the frozen encoder (parallel/tp.py
+    # Megatron layout): q/k/v + FFN-in column-sharded, out/FFN-out
+    # row-sharded over a ``model`` mesh axis; the remaining devices form
+    # the data axis. 1 = pure data parallelism (the reference's only
+    # scale-out is one whole model per GPU, submit_scan_range.py:52-66).
+    tp: int = 1
+
     # stage whole splits to device HBM and form batches by on-device
     # gather (data/pipeline.py:DeviceCorpus). None = auto: on TPU when
     # the split's PER-DEVICE share stages under 512 MiB — a lone chip, or
@@ -110,6 +117,8 @@ class AttackConfig:
             raise ValueError(f"Unknown attack_mode: {self.attack_mode!r}")
         if self.optimizer_type not in OPTIMIZER_TYPES:
             raise ValueError(f"Unknown optimizer_type: {self.optimizer_type!r}")
+        if self.tp < 1:
+            raise ValueError(f"tp must be >= 1, got {self.tp}")
 
     @property
     def is_freq_domain(self) -> bool:

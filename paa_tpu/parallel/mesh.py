@@ -27,6 +27,20 @@ def data_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
+def tp_mesh(n_model: int, n_devices: int | None = None) -> Mesh:
+    """2-D ``(data, model)`` mesh: batch data-parallel × Megatron tensor
+    parallelism over the encoder (parallel/tp.py). ``n_model`` must divide
+    the device count; the remainder becomes the data axis. ``model`` is the
+    minor (fastest-varying) axis so its per-layer all-reduces ride the
+    tightest ICI neighborhood."""
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    if n % n_model != 0:
+        raise ValueError(f"n_model={n_model} must divide device count {n}")
+    arr = np.asarray(devices).reshape(n // n_model, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
 def sweep_mesh(n_sweep: int, n_devices: int | None = None) -> Mesh:
     """2-D ``(sweep, data)`` mesh.
 

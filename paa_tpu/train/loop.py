@@ -130,7 +130,41 @@ class AttackRunner:
         self.model_params = model_params
         n_dev = len(jax.devices())
         self.mesh = None
-        if use_mesh and n_dev > 1 and cfg.batch_size % n_dev == 0:
+        if use_mesh and cfg.tp > 1:
+            # dp×tp: the encoder's weights AND activation slices divide
+            # over the ``model`` axis (parallel/tp.py Megatron layout) —
+            # what lets lv60 ride big batches on small-HBM chips. The
+            # reference's only scale-out is one whole model per GPU
+            # (submit_scan_range.py:52-66).
+            from paa_tpu.models import wav2vec2
+            from paa_tpu.parallel import tp as tp_lib
+
+            if n_dev % cfg.tp:
+                raise ValueError(
+                    f"--tp {cfg.tp} must divide the device count {n_dev}"
+                )
+            n_data = n_dev // cfg.tp
+            if n_data > 1 and cfg.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} must divide over the "
+                    f"data axis ({n_data} = {n_dev} devices / tp {cfg.tp})"
+                )
+            tp_lib.check_model_axis(wav2vec2.get_config(cfg.model_name), cfg.tp)
+            mesh = mesh_lib.tp_mesh(cfg.tp)
+            self.mesh = mesh
+            psh = tp_lib.param_shardings(model_params, mesh)
+            self.model_params = tp_lib.shard_params(model_params, mesh)
+            self.train_step = attack_step.make_sharded_step(
+                cfg, apply_fn, self.tables, mesh, params_sharding=psh
+            )
+            self.eval_step = attack_step.make_sharded_eval_step(
+                cfg, apply_fn, mesh, params_sharding=psh
+            )
+            logger.info(
+                "dp×tp mesh: data=%d × model=%d over %d devices",
+                n_data, cfg.tp, n_dev,
+            )
+        elif use_mesh and n_dev > 1 and cfg.batch_size % n_dev == 0:
             mesh = mesh_lib.data_mesh()
             self.mesh = mesh
             self.train_step = attack_step.make_sharded_step(
