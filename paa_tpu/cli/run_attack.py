@@ -71,13 +71,22 @@ def setup_jax(platform: str | None):
     return jax
 
 
-def load_model_bundle(args):
+def load_model_bundle(args, attn_mesh="auto"):
     """Frozen Wav2Vec2-CTC. Weight sources, in priority order:
       1. ``--checkpoint_path`` — a local model.safetensors /
          pytorch_model.bin read torch-free (models/checkpoint_io.py);
          errors are fatal (the user asked for these exact weights),
       2. HF transformers cache (models/convert.py), best-effort,
-      3. random init (zero-egress fallback)."""
+      3. random init (zero-egress fallback).
+
+    ``attn_mesh``: the mesh the Pallas attention kernels partition over
+    manually (models/wav2vec2.py ``_manual_shard``). ``"auto"`` (single
+    runs) resolves the same mesh AttackRunner will build, so on a
+    multi-chip slice — dp or dp×tp — each chip runs the fused kernel on
+    its local (rows, heads) shard instead of XLA replicating the opaque
+    pallas_call. Pass ``None`` to keep GSPMD-only partitioning (the
+    sweep, whose vmapped form runs the model under vmap where a manual
+    region would need per-axis vmap plumbing)."""
     log = logging.getLogger("paa_tpu")
     overrides = {}
     if getattr(args, "no_input_normalize", False):
@@ -90,17 +99,14 @@ def load_model_bundle(args):
         # "auto": the fused whole-head Pallas kernel where it fits VMEM
         # (the measured-fastest TPU path, docs/PERF.md), flash on longer
         # clips, dense XLA off-TPU — resolved per traced shape so
-        # default-flag runs on long audio degrade instead of erroring
+        # default-flag runs on long audio degrade instead of erroring.
+        # Under --tp the kernels still apply: the manual attention region
+        # runs each chip's head shard locally (models/wav2vec2.py).
         attention_impl = "auto"
-    if getattr(args, "tp", 1) > 1 and attention_impl in ("auto", "fused", "flash"):
-        # Under tensor parallelism the q/k/v activations are head-sharded
-        # over the `model` mesh axis; a pallas_call can't be GSPMD-
-        # partitioned there, so the dense XLA attention (which GSPMD
-        # partitions per-head for free) is the correct kernel.
-        if args.attention_impl not in (None, "xla"):
-            log.warning("--tp > 1 forces attention_impl=xla (Pallas kernels "
-                        "don't partition over the model axis)")
-        attention_impl = "xla"
+    if attn_mesh == "auto":
+        from paa_tpu.parallel import mesh as mesh_lib
+
+        attn_mesh = mesh_lib.decide_mesh(getattr(args, "tp", 1), args.batch_size)
     remat, remat_policy, _ = parser_lib.resolve_perf_defaults(args)
     mcfg = wav2vec2.get_config(
         args.model,
@@ -108,6 +114,7 @@ def load_model_bundle(args):
         remat=remat,
         remat_policy=remat_policy,
         attention_impl=attention_impl,
+        attn_mesh=attn_mesh,
         **overrides,
     )
     params = None

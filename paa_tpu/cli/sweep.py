@@ -208,7 +208,10 @@ def run_sweep(args) -> dict:
         samples, relative_audio_length=args.relative_audio_length,
         seed=args.seed, target_sr=args.sr,
     )
-    _, params, apply_fn = run_attack_cli.load_model_bundle(args)
+    # attn_mesh=None: the sweep's vmapped form runs the model under vmap,
+    # where the manual attention region (models/wav2vec2.py _manual_shard)
+    # would need per-axis vmap plumbing; sweep attention stays GSPMD.
+    _, params, apply_fn = run_attack_cli.load_model_bundle(args, attn_mesh=None)
 
     summary = {}
     root = args.save_root or os.path.join(os.getcwd(), "logs")

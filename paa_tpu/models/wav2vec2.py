@@ -149,6 +149,20 @@ class Wav2Vec2Config:
     # production shape). num_hidden_layers = fully unrolled: residuals
     # become plain SSA values, no stacking traffic, larger program.
     encoder_unroll: int = 1
+    # Mesh for MANUAL attention partitioning (jax.sharding.Mesh or None).
+    # A pallas_call has no GSPMD partitioning rule: on a multi-chip mesh
+    # XLA must treat the fused/flash kernels as opaque whole-array ops —
+    # all-gathering the batch-sharded (dp) or head-sharded (tp) q/k/v and
+    # running the full problem on every chip. When set, those kernels run
+    # inside a jax.shard_map region over this mesh: each chip executes
+    # the kernel on its local (batch rows, heads) shard. Attention is
+    # independent across rows and heads, so the region needs no
+    # collectives. None (default) = single device; the dense "xla" path
+    # never needs this (GSPMD partitions plain matmuls fine).
+    attn_mesh: Any = None
+    # Run the fused Pallas kernel in interpret mode — CPU tests of the
+    # shard_map-partitioned path; never set on TPU.
+    attn_interpret: bool = False
 
     def __post_init__(self):
         checks = {
@@ -498,6 +512,32 @@ class _ProjParams(nn.Module):
         return kernel, bias
 
 
+def _manual_shard(fn, mesh):
+    """Partition a per-(row, head) independent attention kernel manually.
+
+    ``fn`` maps three ``(B, T, heads, d)`` arrays to one; batch rows ride
+    the mesh's ``data`` axis and heads its ``model`` axis (the layout the
+    surrounding step/tp shardings already give q/k/v, attack/step.py +
+    parallel/tp.py). Each device runs the Pallas kernel on its local
+    shard — without this manual region GSPMD has no partitioning rule
+    for a ``pallas_call`` and replicates the whole problem onto every
+    chip. No collectives are needed inside: attention mixes only the T
+    axis, which stays unsharded. Identity when the mesh is absent or has
+    no non-trivial data/model axis.
+    """
+    if mesh is None:
+        return fn
+    data = "data" if dict(mesh.shape).get("data", 1) > 1 else None
+    model = "model" if dict(mesh.shape).get("model", 1) > 1 else None
+    if data is None and model is None:
+        return fn
+    spec = jax.sharding.PartitionSpec(data, None, model, None)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+
+
 class SelfAttention(nn.Module):
     cfg: Wav2Vec2Config
 
@@ -527,6 +567,12 @@ class SelfAttention(nn.Module):
             return t.reshape(t.shape[:-1] + (nh, hd))
 
         q, k, v = split(q), split(k), split(v)
+        mesh = cfg.attn_mesh
+        tp_n = (
+            int(mesh.shape["model"])
+            if mesh is not None and "model" in mesh.axis_names
+            else 1
+        )
         impl = cfg.attention_impl
         if impl == "auto":
             # fused is the measured-fastest TPU path at the attack's
@@ -538,9 +584,12 @@ class SelfAttention(nn.Module):
             if jax.default_backend() != "tpu":
                 impl = "xla"
             else:
+                # feasibility is per DEVICE: under tensor parallelism each
+                # chip's kernel sees nh/tp heads (parallel/tp.py), so the
+                # lane width and VMEM footprint shrink with the shard
                 impl = (
                     "fused"
-                    if fused_attn.fits(x.shape[1], nh, hd, cfg.dtype.itemsize)
+                    if fused_attn.fits(x.shape[1], nh // tp_n, hd, cfg.dtype.itemsize)
                     else "flash"
                 )
         if impl == "xla":
@@ -553,11 +602,23 @@ class SelfAttention(nn.Module):
         if impl == "fused":
             from paa_tpu.ops.pallas import attention as fused_attn
 
-            ctx = fused_attn.fused_attention(
+            kern = _manual_shard(
+                functools.partial(
+                    fused_attn.fused_attention, interpret=cfg.attn_interpret
+                ),
+                mesh,
+            )
+            ctx = kern(
                 q.astype(cfg.dtype), k.astype(cfg.dtype), v.astype(cfg.dtype)
             )
         elif impl == "flash":
-            ctx = _flash_attention(q, k, v, cfg.dtype, block=cfg.flash_block)
+            kern = _manual_shard(
+                lambda q_, k_, v_: _flash_attention(
+                    q_, k_, v_, cfg.dtype, block=cfg.flash_block
+                ),
+                mesh,
+            )
+            ctx = kern(q, k, v)
         else:
             # scores stay in compute dtype (bf16): the O(T²) buffer is
             # the encoder's largest HBM write/read, and the softmax

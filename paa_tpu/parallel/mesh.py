@@ -41,6 +41,21 @@ def tp_mesh(n_model: int, n_devices: int | None = None) -> Mesh:
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def decide_mesh(tp: int, batch_size: int, n_devices: int | None = None) -> Mesh | None:
+    """The mesh a single attack run will use — the ONE home for that
+    choice, so the model's manual attention region (models/wav2vec2.py
+    ``attn_mesh``) and AttackRunner's step shardings (train/loop.py) can
+    never disagree: ``tp > 1`` → the ``(data, model)`` mesh; otherwise all
+    devices on the ``data`` axis when the batch divides over them; else
+    ``None`` (single-device execution)."""
+    n = n_devices or len(jax.devices())
+    if tp > 1:
+        return tp_mesh(tp, n_devices=n)
+    if n > 1 and batch_size % n == 0:
+        return data_mesh(n_devices=n)
+    return None
+
+
 def sweep_mesh(n_sweep: int, n_devices: int | None = None) -> Mesh:
     """2-D ``(sweep, data)`` mesh.
 

@@ -204,6 +204,114 @@ def test_runner_tp_rejects_bad_sizes():
         )
 
 
+# -- manual attention partitioning (shard_map over the Pallas kernel) ----------
+
+
+def _apply_fn_for(mcfg):
+    model = wav2vec2.Wav2Vec2ForCTC(mcfg)
+    return lambda prm, audio: model.apply({"params": prm}, audio)
+
+
+@pytest.mark.parametrize("mesh_kind", ["tp", "dp"])
+def test_fused_attention_manual_shard_matches_xla(setup, mesh_kind):
+    """The fused Pallas attention inside the jax.shard_map manual region
+    (models/wav2vec2.py ``_manual_shard``) over a (data, model) / (data,)
+    mesh matches the dense XLA path — logits AND the gradient w.r.t. the
+    waveform (the attack's only gradient). A pallas_call has no GSPMD
+    partitioning rule; this pins that each device's kernel runs on its
+    local (rows, heads) shard and composes with tp's head-sharded q/k/v."""
+    mcfg, params, _, audio, *_ = setup
+    mesh = (
+        mesh_lib.tp_mesh(2, n_devices=8)
+        if mesh_kind == "tp"
+        else mesh_lib.data_mesh(8)
+    )
+    fused_cfg = wav2vec2.get_config(
+        "wav2vec2-tiny", attention_impl="fused", attn_interpret=True,
+        attn_mesh=mesh,
+    )
+    xla_fn = _apply_fn_for(mcfg)
+    fused_fn = _apply_fn_for(fused_cfg)
+    prm = tp.shard_params(params, mesh) if mesh_kind == "tp" else params
+
+    p0 = jnp.zeros((1, T), jnp.float32)
+    loss = lambda fn, prm_: lambda p: jnp.sum(jnp.abs(fn(prm_, audio + p)))
+    ref_v, ref_g = jax.value_and_grad(loss(xla_fn, params))(p0)
+    got_v, got_g = jax.jit(jax.value_and_grad(loss(fused_fn, prm)))(p0)
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_g), np.asarray(ref_g),
+        rtol=1e-4, atol=1e-6 * float(jnp.abs(ref_g).max()),
+    )
+
+
+def test_fused_attention_manual_shard_under_remat(setup):
+    """The manual attention region composes with encoder remat (the
+    production memory config): same loss/grad as the un-remat'd xla path."""
+    mcfg, params, _, audio, *_ = setup
+    mesh = mesh_lib.tp_mesh(2, n_devices=8)
+    fused_cfg = wav2vec2.get_config(
+        "wav2vec2-tiny", attention_impl="fused", attn_interpret=True,
+        attn_mesh=mesh, remat=True, remat_policy="save_cheap",
+    )
+    prm = tp.shard_params(params, mesh)
+    p0 = jnp.zeros((1, T), jnp.float32)
+    loss = lambda fn, prm_: lambda p: jnp.sum(jnp.abs(fn(prm_, audio + p)))
+    ref_v, ref_g = jax.value_and_grad(loss(_apply_fn_for(mcfg), params))(p0)
+    got_v, got_g = jax.jit(
+        jax.value_and_grad(loss(_apply_fn_for(fused_cfg), prm))
+    )(p0)
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_g), np.asarray(ref_g),
+        rtol=1e-4, atol=1e-6 * float(jnp.abs(ref_g).max()),
+    )
+
+
+def test_tp_fused_train_step_matches_single(setup):
+    """Full dp×tp train step with the manually-sharded fused attention ==
+    the single-device xla-attention step: same loss, same updated p —
+    the end-to-end contract behind ``--tp`` with default (auto) kernels."""
+    mcfg, params, _, audio, labels, pads = setup
+    cfg = AttackConfig(norm_type="linf", optimizer_type="pgd", lr=1e-3)
+    tables = psycho.build_tables(cfg)
+    cparams = ConstraintParams.create(linf_size=0.05)
+    mesh = mesh_lib.tp_mesh(2, n_devices=8)
+    fused_cfg = wav2vec2.get_config(
+        "wav2vec2-tiny", attention_impl="fused", attn_interpret=True,
+        attn_mesh=mesh,
+    )
+    single = attack_step.make_train_step(cfg, _apply_fn_for(mcfg), tables)
+    sharded = attack_step.make_sharded_step(
+        cfg, _apply_fn_for(fused_cfg), tables, mesh,
+        params_sharding=tp.param_shardings(params, mesh),
+    )
+    p0 = jnp.zeros((1, T), jnp.float32)
+    lr = jnp.float32(cfg.lr)
+    w = jnp.ones((B,), jnp.float32)
+    p_a, _, m_a = single(
+        params, p0, optimizers.init_opt_state(cfg, p0),
+        audio, labels, pads, w, cparams, lr,
+    )
+    p_b, _, m_b = sharded(
+        tp.shard_params(params, mesh), jnp.zeros((1, T), jnp.float32),
+        optimizers.init_opt_state(cfg, p0),
+        audio, labels, pads, w, cparams, lr,
+    )
+    np.testing.assert_allclose(float(m_a.ctc_loss), float(m_b.ctc_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-6)
+
+
+def test_manual_shard_identity_without_mesh_axes():
+    """_manual_shard is the identity when no non-trivial data/model axis
+    exists (single device, or a trivial mesh) — the single-chip fast path
+    bench.py measures is untouched."""
+    fn = lambda q, k, v: q + k + v
+    assert wav2vec2._manual_shard(fn, None) is fn
+    one = mesh_lib.data_mesh(1)
+    assert wav2vec2._manual_shard(fn, one) is fn
+
+
 def test_tp_params_actually_sharded(setup):
     """The placed params really live sliced: a column-parallel kernel's
     addressable shard on one device holds 1/n_model of the output dim."""
