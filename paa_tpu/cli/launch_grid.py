@@ -110,6 +110,14 @@ def run_grid(args, passthrough: list[str]) -> int:
     unknown = [n for n in norms if n not in grids]
     if unknown:
         raise SystemExit(f"no grid for norm(s) {unknown}; pass --grid")
+    # --grid can introduce norms DEFAULT_GRIDS never had; unless they map
+    # to a size flag the cell command below can't be built (reference:
+    # submit_scan_range.py:21-29 has the same norm→flag table)
+    unmapped = [n for n in norms if n not in SWEEP_ARG]
+    if unmapped:
+        raise SystemExit(
+            f"unknown norm(s) {unmapped}; expected one of {sorted(SWEEP_ARG)}"
+        )
     root = args.save_root or os.path.join(os.getcwd(), "logs")
     cells = build_cells(norms, grids)
 

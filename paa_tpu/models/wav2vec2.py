@@ -512,23 +512,32 @@ class _ProjParams(nn.Module):
         return kernel, bias
 
 
-def _manual_shard(fn, mesh):
+def _manual_shard(fn, mesh, batch: int, heads: int):
     """Partition a per-(row, head) independent attention kernel manually.
 
-    ``fn`` maps three ``(B, T, heads, d)`` arrays to one; batch rows ride
-    the mesh's ``data`` axis and heads its ``model`` axis (the layout the
-    surrounding step/tp shardings already give q/k/v, attack/step.py +
-    parallel/tp.py). Each device runs the Pallas kernel on its local
-    shard — without this manual region GSPMD has no partitioning rule
-    for a ``pallas_call`` and replicates the whole problem onto every
-    chip. No collectives are needed inside: attention mixes only the T
-    axis, which stays unsharded. Identity when the mesh is absent or has
-    no non-trivial data/model axis.
+    ``fn`` maps three ``(batch, T, heads, d)`` arrays to one; batch rows
+    ride the mesh's ``data`` axis and heads its ``model`` axis (the
+    layout the surrounding step/tp shardings already give q/k/v,
+    attack/step.py + parallel/tp.py). Each device runs the Pallas kernel
+    on its local shard — without this manual region GSPMD has no
+    partitioning rule for a ``pallas_call`` and replicates the whole
+    problem onto every chip. No collectives are needed inside: attention
+    mixes only the T axis, which stays unsharded.
+
+    An axis the traced shape does not divide over is dropped from the
+    specs (shard_map is strict where GSPMD pads): e.g. ``--accum_steps``
+    microbatches smaller than the data axis run the kernel replicated
+    along ``data`` — same semantics as the pre-manual-region program —
+    instead of failing at trace time. Identity when the mesh is absent
+    or no axis survives.
     """
     if mesh is None:
         return fn
-    data = "data" if dict(mesh.shape).get("data", 1) > 1 else None
-    model = "model" if dict(mesh.shape).get("model", 1) > 1 else None
+    shape = dict(mesh.shape)
+    data = "data" if 1 < shape.get("data", 1) and batch % shape["data"] == 0 else None
+    model = (
+        "model" if 1 < shape.get("model", 1) and heads % shape["model"] == 0 else None
+    )
     if data is None and model is None:
         return fn
     spec = jax.sharding.PartitionSpec(data, None, model, None)
@@ -606,7 +615,7 @@ class SelfAttention(nn.Module):
                 functools.partial(
                     fused_attn.fused_attention, interpret=cfg.attn_interpret
                 ),
-                mesh,
+                mesh, q.shape[0], nh,
             )
             ctx = kern(
                 q.astype(cfg.dtype), k.astype(cfg.dtype), v.astype(cfg.dtype)
@@ -616,7 +625,7 @@ class SelfAttention(nn.Module):
                 lambda q_, k_, v_: _flash_attention(
                     q_, k_, v_, cfg.dtype, block=cfg.flash_block
                 ),
-                mesh,
+                mesh, q.shape[0], nh,
             )
             ctx = kern(q, k, v)
         else:

@@ -103,6 +103,11 @@ def check_model_axis(mcfg, n_model: int) -> None:
         )
 
 
-def shard_params(params, mesh: Mesh):
-    """Place ``params`` on ``mesh`` with the tensor-parallel layout."""
-    return jax.device_put(params, param_shardings(params, mesh))
+def shard_params(params, mesh: Mesh, shardings=None):
+    """Place ``params`` on ``mesh`` with the tensor-parallel layout.
+    Pass ``shardings`` (a :func:`param_shardings` result the caller
+    already holds, e.g. for a step's ``in_shardings``) to skip
+    re-deriving it."""
+    return jax.device_put(
+        params, shardings if shardings is not None else param_shardings(params, mesh)
+    )

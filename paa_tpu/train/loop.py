@@ -129,13 +129,8 @@ class AttackRunner:
         self.tables = psycho.build_tables(cfg)
         self.model_params = model_params
         n_dev = len(jax.devices())
-        self.mesh = None
         if use_mesh and cfg.tp > 1:
-            # dp×tp: the encoder's weights AND activation slices divide
-            # over the ``model`` axis (parallel/tp.py Megatron layout) —
-            # what lets lv60 ride big batches on small-HBM chips. The
-            # reference's only scale-out is one whole model per GPU
-            # (submit_scan_range.py:52-66).
+            # Actionable validations BEFORE the mesh is built.
             from paa_tpu.models import wav2vec2
             from paa_tpu.parallel import tp as tp_lib
 
@@ -150,10 +145,23 @@ class AttackRunner:
                     f"data axis ({n_data} = {n_dev} devices / tp {cfg.tp})"
                 )
             tp_lib.check_model_axis(wav2vec2.get_config(cfg.model_name), cfg.tp)
-            mesh = mesh_lib.tp_mesh(cfg.tp)
-            self.mesh = mesh
+        # ONE home for the mesh choice (shared with the model's manual
+        # attention region via cli/run_attack.load_model_bundle — the two
+        # must never disagree, parallel/mesh.py:decide_mesh).
+        self.mesh = mesh_lib.decide_mesh(cfg.tp, cfg.batch_size) if use_mesh else None
+        mesh = self.mesh
+        if mesh is not None and "model" in mesh.axis_names:
+            # dp×tp: the encoder's weights AND activation slices divide
+            # over the ``model`` axis (parallel/tp.py Megatron layout) —
+            # what lets lv60 ride big batches on small-HBM chips. The
+            # reference's only scale-out is one whole model per GPU
+            # (submit_scan_range.py:52-66).
+            from paa_tpu.parallel import tp as tp_lib
+
             psh = tp_lib.param_shardings(model_params, mesh)
-            self.model_params = tp_lib.shard_params(model_params, mesh)
+            self.model_params = tp_lib.shard_params(
+                model_params, mesh, shardings=psh
+            )
             self.train_step = attack_step.make_sharded_step(
                 cfg, apply_fn, self.tables, mesh, params_sharding=psh
             )
@@ -162,11 +170,9 @@ class AttackRunner:
             )
             logger.info(
                 "dp×tp mesh: data=%d × model=%d over %d devices",
-                n_data, cfg.tp, n_dev,
+                n_dev // cfg.tp, cfg.tp, n_dev,
             )
-        elif use_mesh and n_dev > 1 and cfg.batch_size % n_dev == 0:
-            mesh = mesh_lib.data_mesh()
-            self.mesh = mesh
+        elif mesh is not None:
             self.train_step = attack_step.make_sharded_step(
                 cfg, apply_fn, self.tables, mesh
             )

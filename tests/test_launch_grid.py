@@ -53,6 +53,16 @@ def test_unknown_norm_is_an_error():
         launch_grid.main(["--norms", "nope", "--dry_run"])
 
 
+def test_grid_norm_without_size_flag_is_an_error():
+    """--grid can name a norm DEFAULT_GRIDS never had; unless it maps to
+    a run_attack size flag the launcher must exit cleanly (not KeyError
+    inside cell_command)."""
+    with pytest.raises(SystemExit, match="unknown norm"):
+        launch_grid.main([
+            "--norms", "maxphon", "--grid", '{"maxphon": [15.0]}', "--dry_run",
+        ])
+
+
 def test_failed_cell_is_requeued_then_reported(tmp_path):
     """A cell whose process exits nonzero re-enters the queue up to
     --retries times (SLURM --requeue), and the grid exits 1 with every

@@ -305,11 +305,60 @@ def test_tp_fused_train_step_matches_single(setup):
 def test_manual_shard_identity_without_mesh_axes():
     """_manual_shard is the identity when no non-trivial data/model axis
     exists (single device, or a trivial mesh) — the single-chip fast path
-    bench.py measures is untouched."""
+    bench.py measures is untouched — and an axis the traced shape does
+    not divide over is dropped instead of failing at shard_map's strict
+    divisibility check (e.g. --accum_steps microbatches smaller than the
+    data axis)."""
     fn = lambda q, k, v: q + k + v
-    assert wav2vec2._manual_shard(fn, None) is fn
+    assert wav2vec2._manual_shard(fn, None, 8, 4) is fn
     one = mesh_lib.data_mesh(1)
-    assert wav2vec2._manual_shard(fn, one) is fn
+    assert wav2vec2._manual_shard(fn, one, 8, 4) is fn
+    # batch 6 doesn't divide the 8-way data axis -> identity (no model axis)
+    assert wav2vec2._manual_shard(fn, mesh_lib.data_mesh(8), 6, 4) is fn
+    # batch indivisible but heads divide the model axis -> still wrapped
+    tpm = mesh_lib.tp_mesh(2, n_devices=8)
+    assert wav2vec2._manual_shard(fn, tpm, 6, 4) is not fn
+    # heads indivisible too -> identity
+    assert wav2vec2._manual_shard(fn, tpm, 6, 3) is fn
+
+
+def test_fused_manual_shard_accum_microbatch_smaller_than_data_axis(setup):
+    """Regression: with --accum_steps the step's lax.scan feeds the model
+    microbatches of B/A rows; when that is smaller than the data axis the
+    manual region must drop the data axis (running the kernel replicated
+    along it, the pre-manual-region semantics) rather than fail
+    shard_map's divisibility check at trace time."""
+    mcfg, params, _, audio, labels, pads = setup
+    mesh = mesh_lib.tp_mesh(2, n_devices=8)  # data axis 4
+    fused_cfg = wav2vec2.get_config(
+        "wav2vec2-tiny", attention_impl="fused", attn_interpret=True,
+        attn_mesh=mesh,
+    )
+    # B=8, accum=4 -> microbatch 2, indivisible by the 4-way data axis
+    cfg = AttackConfig(
+        norm_type="linf", optimizer_type="pgd", lr=1e-3, accum_steps=4
+    )
+    tables = psycho.build_tables(cfg)
+    cparams = ConstraintParams.create(linf_size=0.05)
+    single = attack_step.make_train_step(cfg, _apply_fn_for(mcfg), tables)
+    sharded = attack_step.make_sharded_step(
+        cfg, _apply_fn_for(fused_cfg), tables, mesh,
+        params_sharding=tp.param_shardings(params, mesh),
+    )
+    p0 = jnp.zeros((1, T), jnp.float32)
+    lr = jnp.float32(cfg.lr)
+    w = jnp.ones((B,), jnp.float32)
+    p_a, _, m_a = single(
+        params, p0, optimizers.init_opt_state(cfg, p0),
+        audio, labels, pads, w, cparams, lr,
+    )
+    p_b, _, m_b = sharded(
+        tp.shard_params(params, mesh), jnp.zeros((1, T), jnp.float32),
+        optimizers.init_opt_state(cfg, p0),
+        audio, labels, pads, w, cparams, lr,
+    )
+    np.testing.assert_allclose(float(m_a.ctc_loss), float(m_b.ctc_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-6)
 
 
 def test_tp_params_actually_sharded(setup):
