@@ -94,6 +94,21 @@ def test_tp_mesh_shape_and_validation():
         mesh_lib.tp_mesh(3, n_devices=8)
 
 
+def test_decide_mesh_single_home():
+    """decide_mesh is the one home for the run-mesh choice (shared by
+    AttackRunner and the model's attn_mesh): tp>1 → (data, model); else
+    data when the batch divides the devices; else None."""
+    m = mesh_lib.decide_mesh(2, batch_size=8, n_devices=8)
+    assert m.axis_names == ("data", "model") and m.shape["model"] == 2
+    m = mesh_lib.decide_mesh(1, batch_size=8, n_devices=8)
+    assert m.axis_names == ("data",) and m.shape["data"] == 8
+    assert mesh_lib.decide_mesh(1, batch_size=6, n_devices=8) is None
+    assert mesh_lib.decide_mesh(1, batch_size=8, n_devices=1) is None
+    # equal to what AttackRunner/tp paths build — interchangeable meshes
+    assert mesh_lib.decide_mesh(2, 8, 8) == mesh_lib.tp_mesh(2, n_devices=8)
+    assert mesh_lib.decide_mesh(1, 8, 8) == mesh_lib.data_mesh(8)
+
+
 # -- numerical parity ----------------------------------------------------------
 
 
