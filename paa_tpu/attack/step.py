@@ -192,7 +192,8 @@ def make_sharded_eval_step(
 
     return jax.jit(
         eval_step,
-        in_shardings=(params_sharding or repl, repl, batch_sh, batch_sh, batch_sh, batch_sh),
+        in_shardings=(repl if params_sharding is None else params_sharding,
+                      repl, batch_sh, batch_sh, batch_sh, batch_sh),
         out_shardings=StepMetrics(ctc_loss=repl, greedy_ids=batch_sh),
     )
 
@@ -226,7 +227,8 @@ def make_sharded_step(
 
     return jax.jit(
         train_step,
-        in_shardings=(params_sharding or repl, repl, repl, batch_sh, batch_sh, batch_sh, batch_sh, repl, repl),
+        in_shardings=(repl if params_sharding is None else params_sharding,
+                      repl, repl, batch_sh, batch_sh, batch_sh, batch_sh, repl, repl),
         out_shardings=(repl, repl, StepMetrics(ctc_loss=repl, greedy_ids=batch_sh)),
         donate_argnums=(1, 2),
     )

@@ -106,7 +106,16 @@ def load_model_bundle(args, attn_mesh="auto"):
     if attn_mesh == "auto":
         from paa_tpu.parallel import mesh as mesh_lib
 
-        attn_mesh = mesh_lib.decide_mesh(getattr(args, "tp", 1), args.batch_size)
+        tp = getattr(args, "tp", 1)
+        if tp > 1:
+            # model-axis validation BEFORE the mesh resolves, so a bad
+            # --tp surfaces as the flag-oriented message here (the
+            # device/batch divisibility messages live in decide_mesh,
+            # the single error site shared with AttackRunner)
+            from paa_tpu.parallel import tp as tp_lib
+
+            tp_lib.check_model_axis(wav2vec2.get_config(args.model), tp)
+        attn_mesh = mesh_lib.decide_mesh(tp, args.batch_size)
     remat, remat_policy, _ = parser_lib.resolve_perf_defaults(args)
     mcfg = wav2vec2.get_config(
         args.model,

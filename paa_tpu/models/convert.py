@@ -118,6 +118,66 @@ def convert_hf_state_dict(sd: dict, cfg: Wav2Vec2Config) -> dict:
     return params
 
 
+def export_hf_state_dict(params: dict, cfg: Wav2Vec2Config) -> dict:
+    """Inverse of :func:`convert_hf_state_dict`: Flax param pytree → HF
+    ``Wav2Vec2ForCTC`` state_dict layout (numpy float32 values).
+
+    Lets in-repo trained models (train/pretrain.py) ship as standard HF
+    checkpoint files readable by ``--checkpoint_path`` (and by HF torch
+    itself). Uses the modern weight-norm parametrization naming; verified
+    round-trip-exact against ``convert_hf_state_dict`` in tests.
+    """
+    f32 = lambda x: np.asarray(x, dtype=np.float32)
+    sd: dict = {}
+
+    fe = params["feature_extractor"]
+    for i in range(len(cfg.conv_dim)):
+        layer = fe[f"conv_layers_{i}"]
+        pre = f"wav2vec2.feature_extractor.conv_layers.{i}"
+        # our (K, in, out) WIO layout → torch Conv1d (out, in, K)
+        sd[f"{pre}.conv.weight"] = f32(layer["conv_kernel"]).transpose(2, 1, 0)
+        if cfg.conv_bias:
+            sd[f"{pre}.conv.bias"] = f32(layer["conv_bias"])
+        if "layer_norm" in layer:
+            sd[f"{pre}.layer_norm.weight"] = f32(layer["layer_norm"]["scale"])
+            sd[f"{pre}.layer_norm.bias"] = f32(layer["layer_norm"]["bias"])
+
+    fp = params["feature_projection"]
+    sd["wav2vec2.feature_projection.layer_norm.weight"] = f32(fp["layer_norm"]["scale"])
+    sd["wav2vec2.feature_projection.layer_norm.bias"] = f32(fp["layer_norm"]["bias"])
+    sd["wav2vec2.feature_projection.projection.weight"] = f32(fp["projection"]["kernel"]).T
+    sd["wav2vec2.feature_projection.projection.bias"] = f32(fp["projection"]["bias"])
+
+    enc = params["encoder"]
+    pce = "wav2vec2.encoder.pos_conv_embed.conv"
+    sd[f"{pce}.parametrizations.weight.original0"] = f32(enc["pos_conv_embed"]["weight_g"])
+    sd[f"{pce}.parametrizations.weight.original1"] = f32(
+        enc["pos_conv_embed"]["weight_v"]
+    ).transpose(2, 1, 0)
+    sd[f"{pce}.bias"] = f32(enc["pos_conv_embed"]["bias"])
+    sd["wav2vec2.encoder.layer_norm.weight"] = f32(enc["layer_norm"]["scale"])
+    sd["wav2vec2.encoder.layer_norm.bias"] = f32(enc["layer_norm"]["bias"])
+
+    layers = enc["layers"]  # stacked (L, ...) along axis 0
+    for i in range(cfg.num_hidden_layers):
+        pre = f"wav2vec2.encoder.layers.{i}"
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            lin = layers["attention"][name]
+            sd[f"{pre}.attention.{name}.weight"] = f32(lin["kernel"][i]).T
+            sd[f"{pre}.attention.{name}.bias"] = f32(lin["bias"][i])
+        for norm_name in ("layer_norm", "final_layer_norm"):
+            sd[f"{pre}.{norm_name}.weight"] = f32(layers[norm_name]["scale"][i])
+            sd[f"{pre}.{norm_name}.bias"] = f32(layers[norm_name]["bias"][i])
+        for dense in ("intermediate_dense", "output_dense"):
+            lin = layers["feed_forward"][dense]
+            sd[f"{pre}.feed_forward.{dense}.weight"] = f32(lin["kernel"][i]).T
+            sd[f"{pre}.feed_forward.{dense}.bias"] = f32(lin["bias"][i])
+
+    sd["lm_head.weight"] = f32(params["lm_head"]["kernel"]).T
+    sd["lm_head.bias"] = f32(params["lm_head"]["bias"])
+    return sd
+
+
 def _find_cached_weights(repo: str) -> str | None:
     """Locate model.safetensors / pytorch_model.bin in the standard HF hub
     cache layout without importing huggingface_hub."""

@@ -577,11 +577,15 @@ class SelfAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         mesh = cfg.attn_mesh
-        tp_n = (
-            int(mesh.shape["model"])
-            if mesh is not None and "model" in mesh.axis_names
-            else 1
-        )
+        # Per-device head count must mirror _manual_shard's axis-drop
+        # rule: when heads don't divide the model axis the manual region
+        # drops that axis and every device runs ALL nh heads, so the
+        # VMEM feasibility check below must not assume the shard.
+        tp_n = 1
+        if mesh is not None and "model" in mesh.axis_names:
+            n_model = int(mesh.shape["model"])
+            if n_model > 1 and nh % n_model == 0:
+                tp_n = n_model
         impl = cfg.attention_impl
         if impl == "auto":
             # fused is the measured-fastest TPU path at the attack's

@@ -47,9 +47,22 @@ def decide_mesh(tp: int, batch_size: int, n_devices: int | None = None) -> Mesh 
     ``attn_mesh``) and AttackRunner's step shardings (train/loop.py) can
     never disagree: ``tp > 1`` → the ``(data, model)`` mesh; otherwise all
     devices on the ``data`` axis when the batch divides over them; else
-    ``None`` (single-device execution)."""
+    ``None`` (single-device execution).
+
+    Also the ONE error site for the run-level divisibility checks, with
+    flag-named messages — callers (cli/run_attack.load_model_bundle and
+    train/loop.AttackRunner) must see identical errors regardless of
+    which resolves the mesh first."""
     n = n_devices or len(jax.devices())
     if tp > 1:
+        if n % tp:
+            raise ValueError(f"--tp {tp} must divide the device count {n}")
+        n_data = n // tp
+        if n_data > 1 and batch_size % n_data:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the data axis "
+                f"({n_data} = {n} devices / tp {tp})"
+            )
         return tp_mesh(tp, n_devices=n)
     if n > 1 and batch_size % n == 0:
         return data_mesh(n_devices=n)

@@ -130,20 +130,12 @@ class AttackRunner:
         self.model_params = model_params
         n_dev = len(jax.devices())
         if use_mesh and cfg.tp > 1:
-            # Actionable validations BEFORE the mesh is built.
+            # Model-axis validation BEFORE the mesh is built; the device/
+            # batch divisibility checks live in decide_mesh itself (the
+            # single error site, shared with load_model_bundle).
             from paa_tpu.models import wav2vec2
             from paa_tpu.parallel import tp as tp_lib
 
-            if n_dev % cfg.tp:
-                raise ValueError(
-                    f"--tp {cfg.tp} must divide the device count {n_dev}"
-                )
-            n_data = n_dev // cfg.tp
-            if n_data > 1 and cfg.batch_size % n_data:
-                raise ValueError(
-                    f"batch_size {cfg.batch_size} must divide over the "
-                    f"data axis ({n_data} = {n_dev} devices / tp {cfg.tp})"
-                )
             tp_lib.check_model_axis(wav2vec2.get_config(cfg.model_name), cfg.tp)
         # ONE home for the mesh choice (shared with the model's manual
         # attention region via cli/run_attack.load_model_bundle — the two

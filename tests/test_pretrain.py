@@ -1,0 +1,126 @@
+"""In-repo CTC pretraining (train/pretrain.py) + HF-layout export
+(models/convert.export_hf_state_dict).
+
+The pretrainer is what makes the framework's quality axis real: the
+reference's WER story rests on a pretrained checkpoint the zero-egress
+environment cannot download (reference: src/training_utils/
+build.py:225-231), so we train a small model on the learnable synthetic
+corpus and ship it through the standard ``--checkpoint_path`` ingestion
+path. These tests pin the export round-trip bit-exactly and the learning
+dynamics at smoke scale.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from paa_tpu.data import datasets, pipeline as pipeline_lib
+from paa_tpu.models import checkpoint_io, convert, wav2vec2
+from paa_tpu.train import pretrain
+
+
+def _trees_equal(a, b) -> bool:
+    ok = jax.tree.map(
+        lambda x, y: bool(np.array_equal(np.asarray(x, np.float32), np.asarray(y))),
+        a, b,
+    )
+    return all(jax.tree.leaves(ok))
+
+
+def test_export_roundtrip_tiny():
+    """export_hf_state_dict is the exact inverse of convert_hf_state_dict
+    (group-norm FE, no conv bias)."""
+    cfg = wav2vec2.get_config("wav2vec2-tiny")
+    params = wav2vec2.init_params(cfg, seed=0)
+    back = convert.convert_hf_state_dict(convert.export_hf_state_dict(params, cfg), cfg)
+    assert _trees_equal(params, back)
+
+
+def test_export_roundtrip_lv60_layout():
+    """Same round-trip for the lv60-style layout (conv bias + per-conv
+    layer norm + stable layer norm)."""
+    cfg = wav2vec2.get_config(
+        "wav2vec2-tiny", conv_bias=True, feat_extract_norm="layer",
+        do_stable_layer_norm=True,
+    )
+    params = wav2vec2.init_params(cfg, seed=1)
+    back = convert.convert_hf_state_dict(convert.export_hf_state_dict(params, cfg), cfg)
+    assert _trees_equal(params, back)
+
+
+def test_export_file_loads_via_checkpoint_path(tmp_path):
+    """The written safetensors file flows through the torch-free
+    checkpoint reader exactly as ``--checkpoint_path`` would load it."""
+    cfg = wav2vec2.get_config("wav2vec2-tiny")
+    params = wav2vec2.init_params(cfg, seed=3)
+    out = str(tmp_path / "model.safetensors")
+    pretrain.export_checkpoint(params, "wav2vec2-tiny", out)
+    sd = checkpoint_io.load_state_dict(out)
+    back = convert.convert_hf_state_dict(sd, cfg)
+    assert _trees_equal(params, back)
+    # logits parity through the real forward
+    model = wav2vec2.Wav2Vec2ForCTC(cfg)
+    audio = np.random.default_rng(0).standard_normal((2, 4000)).astype(np.float32)
+    a = model.apply({"params": params}, audio)
+    b = model.apply({"params": jax.tree.map(np.asarray, back)}, audio)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pretrain_step_reduces_loss():
+    """A few dozen steps on a micro corpus materially reduce the CTC
+    loss — pins the (grads over model params → Adam) direction without
+    waiting for convergence."""
+    samples = datasets.load_dataset_tuples("synthetic", seed=7, synthetic_samples=48)
+    pipe = pipeline_lib.build_pipeline(samples, seed=7)
+    cfg = pretrain.PretrainConfig(
+        steps=40, batch_size=8, lr=1e-3, warmup_steps=10,
+        eval_every=1000, synthetic_samples=48, seed=7,
+    )
+    mcfg = wav2vec2.get_config(cfg.model)
+    model = wav2vec2.Wav2Vec2ForCTC(mcfg)
+    params = wav2vec2.init_params(mcfg, seed=cfg.seed)
+    tx = pretrain.make_optimizer(cfg)
+    opt_state = tx.init(params)
+    step = pretrain.make_pretrain_step(model, tx)
+    import jax.numpy as jnp
+
+    losses = []
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        for batch in pipe.train.batches(cfg.batch_size, shuffle_rng=rng,
+                                        drop_remainder=True):
+            params, opt_state, loss = step(
+                params, opt_state, batch.audio,
+                jnp.asarray(batch.labels), jnp.asarray(batch.label_paddings),
+            )
+            losses.append(float(loss))
+    assert losses[-1] < 0.6 * losses[0], losses[:3] + losses[-3:]
+    assert np.isfinite(losses).all()
+
+
+@pytest.mark.slow
+def test_pretrain_learns_to_transcribe(tmp_path):
+    """End-to-end: pretrain() on a small synthetic corpus reaches a
+    held-out WER materially below 1.0 (random init scores exactly 1.0),
+    and the exported checkpoint reproduces that WER after the
+    export → load round trip."""
+    samples = datasets.load_dataset_tuples("synthetic", seed=5, synthetic_samples=160)
+    pipe = pipeline_lib.build_pipeline(samples, seed=5)
+    cfg = pretrain.PretrainConfig(
+        steps=700, batch_size=16, lr=1.5e-3, warmup_steps=60,
+        eval_every=100, seed=5, target_wer=0.30,
+    )
+    params, history = pretrain.pretrain(cfg, pipe=pipe)
+    assert history["best_eval_wer"] < 0.7, history
+
+    out = str(tmp_path / "model.safetensors")
+    pretrain.export_checkpoint(params, cfg.model, out)
+    mcfg = wav2vec2.get_config(cfg.model)
+    loaded = convert.convert_hf_state_dict(checkpoint_io.load_state_dict(out), mcfg)
+    logits_fn = pretrain.make_logits_fn(wav2vec2.Wav2Vec2ForCTC(mcfg))
+    wer2, _ = pretrain.evaluate_wer(
+        logits_fn, jax.tree.map(np.asarray, loaded), pipe.eval, cfg.batch_size
+    )
+    wer1, _ = pretrain.evaluate_wer(logits_fn, params, pipe.eval, cfg.batch_size)
+    assert abs(wer1 - wer2) < 1e-9

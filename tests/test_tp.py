@@ -109,6 +109,19 @@ def test_decide_mesh_single_home():
     assert mesh_lib.decide_mesh(1, 8, 8) == mesh_lib.data_mesh(8)
 
 
+def test_decide_mesh_is_the_single_error_site():
+    """The flag-named divisibility errors live in decide_mesh itself, so
+    cli/run_attack.load_model_bundle and AttackRunner surface identical
+    messages no matter which resolves the mesh first (ADVICE r3)."""
+    with pytest.raises(ValueError, match=r"--tp 3 must divide the device count 8"):
+        mesh_lib.decide_mesh(3, batch_size=8, n_devices=8)
+    with pytest.raises(ValueError, match=r"batch_size 6 must divide over the data axis"):
+        mesh_lib.decide_mesh(2, batch_size=6, n_devices=8)
+    # tp consuming ALL devices leaves no data axis to divide over
+    m = mesh_lib.decide_mesh(8, batch_size=7, n_devices=8)
+    assert m.shape["model"] == 8 and m.shape["data"] == 1
+
+
 # -- numerical parity ----------------------------------------------------------
 
 
