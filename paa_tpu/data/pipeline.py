@@ -334,32 +334,179 @@ def _gather_rows_fn(audio, labels, pads, rows):
 _gather_rows = jax.jit(_gather_rows_fn)
 
 
-_DEVICE_CACHE_AUTO_LIMIT = 512 << 20  # bytes per split
+class StreamingCorpus:
+    """Feed for splits too big to stage whole: double-buffered HBM blocks.
+
+    :class:`DeviceCorpus` wins by replacing the per-step host→device
+    batch copy with an on-device gather, but it needs the whole split
+    resident (≤512 MiB/device). Reference-scale corpora (30k clips ≈
+    19 GB, reference: build.py:114) don't fit, and the host feed it
+    falls back to was measured 3.4× slower end-to-end (docs/PERF.md) —
+    not because the link lacks bandwidth for one batch, but because a
+    per-batch copy with one-batch lookahead leaves the link idle between
+    transfers and pays its round-trip latency every step.
+
+    This feed keeps the epoch's exact batch order (``_batch_rows`` — the
+    shared source of order semantics, so all three feeds stay
+    bit-identical) but stages it in SUPER-BLOCKS of ``block_batches``
+    pre-collated batches: one contiguous ``(K, B, T)`` transfer is
+    dispatched while the previous block's K batches compute, and blocks
+    are dropped round-robin as they are consumed (two blocks resident —
+    ``ahead=1`` — bounds HBM at 2·K·B·T·4 bytes regardless of corpus
+    size). Per-step cost then is one XLA slice of a resident block.
+
+    With a ``mesh`` the staged block is sharded ``(None, 'data', None)``
+    so each slice comes out batch-sharded exactly like the sharded
+    step's inputs — each chip receives only its batch shard of the
+    block.
+    """
+
+    def __init__(
+        self,
+        split: "Split",
+        block_bytes: int,
+        mesh=None,
+        ahead: int = 1,
+    ):
+        self.split = split
+        self.mesh = mesh
+        self._block_bytes = int(block_bytes)
+        self._ahead = max(1, ahead)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._block_sharding = NamedSharding(mesh, P(None, "data", None))
+            self._label_sharding = NamedSharding(mesh, P(None, "data", None))
+        else:
+            self._block_sharding = None
+
+    def _block_batches(self, batch_size: int, block_bytes: int) -> int:
+        batch_bytes = batch_size * self.split.audio_len * 4
+        return max(1, block_bytes // max(batch_bytes, 1))
+
+    @staticmethod
+    def block_bytes_for(budget_per_device: int, n_data: int) -> int:
+        # two blocks resident per device → each block gets half the
+        # per-device budget, times the data-axis width it shards over
+        return (budget_per_device // 2) * max(n_data, 1)
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle_rng: np.random.Generator | None = None,
+        drop_remainder: bool = False,
+        block_bytes: int | None = None,
+    ) -> Iterator[Batch]:
+        import collections
+
+        split = self.split
+        K = self._block_batches(batch_size, block_bytes or self._block_bytes)
+
+        def stage(rows_group: list[np.ndarray]):
+            k = len(rows_group)
+            B, T = batch_size, split.audio_len
+            L = split.labels.shape[1]
+            audio = np.zeros((k, B, T), dtype=np.float32)
+            labels = np.full((k, B, L), text_ops.PAD_ID, dtype=np.int32)
+            pads = np.ones((k, B, L), dtype=np.float32)
+            weights = np.zeros((k, B), dtype=np.float32)
+            for bi, rows in enumerate(rows_group):
+                for j, i in enumerate(rows):
+                    if i < 0:
+                        continue
+                    w = split.waveforms[i]
+                    n = min(len(w), T)
+                    audio[bi, j, :n] = w[:n]
+                    labels[bi, j] = split.labels[i]
+                    pads[bi, j] = split.label_paddings[i]
+                    weights[bi, j] = 1.0
+            if self._block_sharding is not None:
+                dev_audio = jax.device_put(audio, self._block_sharding)
+                dev_labels = jax.device_put(labels, self._label_sharding)
+                dev_pads = jax.device_put(pads, self._label_sharding)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dev_w = jax.device_put(
+                    weights, NamedSharding(self.mesh, P(None, "data"))
+                )
+            else:
+                dev_audio, dev_labels, dev_pads, dev_w = jax.device_put(
+                    (audio, labels, pads, weights)
+                )
+            return dev_audio, dev_labels, dev_pads, dev_w, rows_group, weights
+
+        def grouped():
+            group: list[np.ndarray] = []
+            for rows in _batch_rows(
+                len(split), batch_size, shuffle_rng, drop_remainder
+            ):
+                group.append(rows)
+                if len(group) == K:
+                    yield group
+                    group = []
+            if group:
+                yield group
+
+        queue = collections.deque()
+        gen = grouped()
+        # double-buffer: keep `ahead` future blocks in flight (device_put
+        # dispatches the copy asynchronously); consumed blocks drop out of
+        # the deque and their HBM frees once in-flight steps finish
+        for g in gen:
+            queue.append(stage(g))
+            if len(queue) <= self._ahead:
+                continue
+            yield from self._drain(queue.popleft())
+        while queue:
+            yield from self._drain(queue.popleft())
+
+    def _drain(self, staged) -> Iterator[Batch]:
+        dev_audio, dev_labels, dev_pads, dev_w, rows_group, host_w = staged
+        for bi, rows in enumerate(rows_group):
+            yield Batch(
+                dev_audio[bi], dev_labels[bi], dev_pads[bi], dev_w[bi],
+                rows, host_w[bi],
+            )
+
+
+_DEVICE_CACHE_AUTO_LIMIT = 512 << 20  # bytes per device
 
 
 def maybe_device_corpus(
     split: "Split", enable: bool | None, mesh=None
-) -> DeviceCorpus | None:
+) -> "DeviceCorpus | StreamingCorpus | None":
     """Resolve the device-cache tri-state for one split.
 
-    ``None`` (auto) enables on a TPU backend when the split's PER-DEVICE
-    share stages under 512 MiB — small enough to sit beside the
-    production-batch program's working set; the reference-scale 30k-clip
-    corpora (~19 GB) stay on the host feed. With a ``mesh`` the corpus is
-    sharded over its ``data`` axis (see :class:`DeviceCorpus`), so the
-    budget scales with the mesh. Explicit True/False always wins (True
-    stages regardless of size — the caller asked for it).
+    ``None`` (auto) on a TPU backend picks, by the split's PER-DEVICE
+    staged share:
+      * ≤512 MiB — :class:`DeviceCorpus`: whole split resident, batches
+        by on-device gather (fastest; zero per-step feed);
+      * larger — :class:`StreamingCorpus`: double-buffered super-block
+        staging (bounded HBM: 2 blocks of ≤256 MiB/device), which keeps
+        most of the staged-feed win at reference scale (30k clips ≈
+        19 GB, reference: build.py:114) instead of silently reverting
+        to the per-batch host feed.
+    With a ``mesh`` both variants shard over its ``data`` axis, so the
+    budgets scale with the slice. Explicit True/False still wins (True
+    forces the full staging — the caller asked for it; False keeps the
+    host feed).
     """
     if enable is False:
         return None
+    n_data = mesh.shape["data"] if mesh is not None else 1
     if enable is None:
         if jax.default_backend() != "tpu":
             return None
         if mesh is None and jax.device_count() != 1:
             return None
-        n_data = mesh.shape["data"] if mesh is not None else 1
         if DeviceCorpus.nbytes(split) > _DEVICE_CACHE_AUTO_LIMIT * n_data:
-            return None
+            return StreamingCorpus(
+                split,
+                block_bytes=StreamingCorpus.block_bytes_for(
+                    _DEVICE_CACHE_AUTO_LIMIT, n_data
+                ),
+                mesh=mesh,
+            )
     return DeviceCorpus(split, mesh=mesh)
 
 
@@ -392,7 +539,14 @@ class CorpusCache:
         key = id(split)
         if key not in self._corpora:
             c = maybe_device_corpus(split, self._enable, mesh=self._mesh)
-            if c is not None:
+            if isinstance(c, StreamingCorpus):
+                logger.info(
+                    "split exceeds the resident-HBM budget (%d clips, %.0f MB) "
+                    "— streaming double-buffered %.0f MB super-blocks instead",
+                    len(split), DeviceCorpus.nbytes(split) / 1e6,
+                    c._block_bytes / 1e6,
+                )
+            elif c is not None:
                 logger.info(
                     "staged split to device HBM: %d clips, %.0f MB — batches "
                     "now form by on-device gather",

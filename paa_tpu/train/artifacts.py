@@ -137,11 +137,11 @@ def save_json_results(save_dir: str, norm_type: str, attack_size, **kwargs):
 
     def safe(v):
         if isinstance(v, dict):
-            return {k: round(float(v[k]), 4) for k in v}
+            return {k: safe(v[k]) for k in v}
         if isinstance(v, (bool, np.bool_)):  # bool is an int subclass
             return bool(v)
         if isinstance(v, (int, float, np.floating, np.integer)):
-            return float(v)
+            return round(float(v), 4)
         return v
 
     # cumulative: merge over the existing file so the finalize pass (and

@@ -247,10 +247,17 @@ class AttackRunner:
         step_time = wall / max(n_steps, 1)
         return p, opt_state, scoring.Scores(avg(ctc_scores), avg(wer_scores)), step_time
 
-    def evaluate(self, split: pipeline_lib.Split, p, perturbed: bool) -> scoring.Scores:
+    def evaluate(
+        self, split: pipeline_lib.Split, p, perturbed: bool,
+        return_preds: bool = False,
+    ):
         """Reference: src/training_utils/evaluation.py:5-31. Clean pass
         uses p=0; perturbed adds p unclamped. Targeted mode swaps the
-        loss labels (get_loss semantics) but WER stays vs ground truth."""
+        loss labels (get_loss semantics) but WER stays vs ground truth.
+
+        With ``return_preds`` returns ``(Scores, preds)`` where ``preds``
+        are the lowercased greedy decodes in split order — the input the
+        targeted emission metrics (train/scoring.emission_metrics) read."""
         cfg = self.cfg
         p_eff = p if perturbed else jnp.zeros_like(p)
         pending = []
@@ -265,13 +272,21 @@ class AttackRunner:
         # reference averages per-batch sums (smaller final batch
         # contributes its smaller sum) — reproduce exactly; metrics are
         # materialized only after every step is dispatched
-        ctc_scores, wer_scores = [], []
+        ctc_scores, wer_scores, preds = [], [], []
         for m, w, indices in pending:
             ctc_scores.append(float(m.ctc_loss))
             ref = [split.texts[i] for i in np.asarray(indices)[w]]
-            wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], ref))
+            batch_preds = [
+                t.lower()
+                for t in text_ops.decode_batch(np.asarray(m.greedy_ids)[w])
+            ]
+            refs = [r.lower() for r in ref]
+            wer_scores.append(wer_ops.wer(batch_preds, refs))
+            if return_preds:
+                preds.extend(batch_preds)
         avg = lambda v: sum(v) / len(v) if v else float("inf")
-        return scoring.Scores(avg(ctc_scores), avg(wer_scores))
+        scores = scoring.Scores(avg(ctc_scores), avg(wer_scores))
+        return (scores, preds) if return_preds else scores
 
     def inspect_samples(self, p, num_items: int, seed: int = 0) -> list[dict]:
         """Random test samples: clean/perturbed audio + prediction triple
@@ -353,6 +368,13 @@ def run_attack(
         "eval_clean_ctc": [], "eval_clean_wer": [],
         "eval_pert_ctc": [], "eval_pert_wer": [],
     }
+    targeted = cfg.attack_mode == "targeted"
+    if targeted:
+        # targeted success signals (paper §4.4's experiment): does the
+        # model ever emit the target, and how close is the transcript to
+        # the full repeated-target label the loss trains toward?
+        history["eval_emission_rate"] = []
+        history["eval_wer_to_target"] = []
     start_epoch = 0
     best_epoch = -1
     no_improve = 0
@@ -414,7 +436,20 @@ def run_attack(
         if clean_eval_cache is None:
             clean_eval_cache = runner.evaluate(pipe.eval, p, perturbed=False)
         clean = clean_eval_cache
-        pert = runner.evaluate(pipe.eval, p, perturbed=True)
+        emis = None
+        if targeted:
+            pert, pert_preds = runner.evaluate(
+                pipe.eval, p, perturbed=True, return_preds=True
+            )
+            emis = scoring.emission_metrics(pert_preds, cfg.target, cfg.target_reps)
+            history["eval_emission_rate"].append(emis["emission_rate"])
+            history["eval_wer_to_target"].append(emis["wer_to_target"])
+            logger.info(
+                "targeted: emission_rate=%.4f wer_to_target=%.4f",
+                emis["emission_rate"], emis["wer_to_target"],
+            )
+        else:
+            pert = runner.evaluate(pipe.eval, p, perturbed=True)
 
         history["train_ctc"].append(train_scores.ctc)
         history["train_wer"].append(train_scores.wer)
@@ -440,6 +475,9 @@ def run_attack(
                 "eval_clean_wer": clean.wer, "eval_pert_ctc": pert.ctc,
                 "eval_pert_wer": pert.wer, "step_time_ms": step_ms,
                 "lr": optimizers.step_lr(cfg, epoch),
+                **({"eval_emission_rate": emis["emission_rate"],
+                    "eval_wer_to_target": emis["wer_to_target"]}
+                   if emis is not None else {}),
             }) + "\n")
         if tb_writer is not None:
             tb_writer.scalars({
@@ -448,6 +486,9 @@ def run_attack(
                 "eval/pert_ctc": pert.ctc, "eval/pert_wer": pert.wer,
                 "train/step_time_ms": step_ms,
                 "train/lr": optimizers.step_lr(cfg, epoch),
+                **({"eval/emission_rate": emis["emission_rate"],
+                    "eval/wer_to_target": emis["wer_to_target"]}
+                   if emis is not None else {}),
             }, step=epoch)
             tb_writer.flush()
         artifacts.save_loss_plot(
@@ -508,8 +549,34 @@ def run_attack(
 
     # -- finalize: best p on the test split (reference: run_attack.py:185-261)
     p = jnp.asarray(best_p)
-    pert_test = runner.evaluate(pipe.test, p, perturbed=True)
-    clean_test = runner.evaluate(pipe.test, p, perturbed=False)
+    test_emis = None
+    if targeted:
+        pert_test, test_preds = runner.evaluate(
+            pipe.test, p, perturbed=True, return_preds=True
+        )
+        clean_test, clean_preds = runner.evaluate(
+            pipe.test, p, perturbed=False, return_preds=True
+        )
+        test_emis = {
+            "perturbed": scoring.emission_metrics(
+                test_preds, cfg.target, cfg.target_reps
+            ),
+            # clean emission is the false-positive floor: the target
+            # phrase occurring in unattacked transcripts
+            "clean": scoring.emission_metrics(
+                clean_preds, cfg.target, cfg.target_reps
+            ),
+        }
+        logger.info(
+            "targeted test: emission_rate=%.4f (clean floor %.4f) "
+            "wer_to_target=%.4f",
+            test_emis["perturbed"]["emission_rate"],
+            test_emis["clean"]["emission_rate"],
+            test_emis["perturbed"]["wer_to_target"],
+        )
+    else:
+        pert_test = runner.evaluate(pipe.test, p, perturbed=True)
+        clean_test = runner.evaluate(pipe.test, p, perturbed=False)
 
     artifacts.save_loss_plot(
         {"ctc": history["train_ctc"], "wer": history["train_wer"]},
@@ -531,6 +598,7 @@ def run_attack(
         final_test_clean={"ctc": clean_test.ctc, "wer": clean_test.wer},
         final_test_perturbed={"ctc": pert_test.ctc, "wer": pert_test.wer},
         steps_per_sec=(1000.0 / step_ms if step_ms else None),
+        **({"targeted_metrics": test_emis} if test_emis is not None else {}),
     )
     log_helpers.log_summary_metrics(
         norm_type=cfg.norm_type, attack_size_string=str(size_str),

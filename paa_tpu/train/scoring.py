@@ -34,3 +34,36 @@ def best_agg(values: list, mode: str) -> float:
 
 def initial_best(mode: str) -> float:
     return float("inf") if mode == "targeted" else float("-inf")
+
+
+def emission_metrics(preds: list[str], target: str, target_reps: int) -> dict:
+    """Targeted-attack success signals from a batch of greedy decodes.
+
+    The reference's only success detector is the sus-routing substring
+    test ``target in prediction`` (src/training_utils/save.py:86); the
+    paper reports targeted attacks by whether the model ever emits the
+    target (report.pdf §4.4). This makes that a first-class per-epoch
+    metric:
+
+      * ``emission_rate`` — fraction of utterances whose greedy decode
+        contains the (cleaned, lowercased) target phrase at least once;
+      * ``wer_to_target`` — corpus WER of the decodes against the FULL
+        repeated target (``" ".join([target] * target_reps)``, the exact
+        label string the targeted loss trains toward,
+        src/core/loss_helpers.py:14-15); 0.0 would mean the attack
+        perfectly controls the transcript.
+    """
+    from paa_tpu.ops import text as text_ops, wer as wer_ops
+
+    tgt = text_ops.clean_transcripts([target])[0].lower()
+    full = text_ops.clean_transcripts(
+        [" ".join([target] * max(target_reps, 1))]
+    )[0].lower()
+    lowered = [p.lower() for p in preds]
+    n = max(len(lowered), 1)
+    emitted = sum(1 for p in lowered if tgt and tgt in p)
+    return {
+        "emission_rate": emitted / n,
+        "wer_to_target": wer_ops.wer(lowered, [full] * len(lowered))
+        if lowered else float("inf"),
+    }

@@ -302,6 +302,57 @@ def test_sweep_step_active_mask_freezes_cells(setup):
     np.testing.assert_array_equal(np.asarray(p_s[1]), np.asarray(p0[1]))  # frozen
 
 
+def test_sweep_step_one_cell_per_chip_s8(setup):
+    """S=8 cells × 8 devices on a (sweep=8, data=1) mesh — the layout a
+    real v5e-8 slice would run (one cell per chip, the direct analogue
+    of the reference's one-SLURM-job-per-GPU, submit_scan_range.py:54).
+    Per-cell numerics must equal the single-device step at that cell's
+    epsilon: each chip's program IS the single-cell program, so the
+    vmapped form costs nothing extra per chip (docs/PERF.md crossover
+    argument)."""
+    mcfg, params, apply_fn, audio, labels, pads = setup
+    cfg = AttackConfig(norm_type="fletcher_munson", optimizer_type="pgd", lr=5e-3)
+    tables = psycho.build_tables(cfg)
+    epsilons = np.asarray(
+        [0.5, 1.0, 2.0, 4.0, 8.9, 16.0, 32.0, 64.0], dtype=np.float32
+    )
+    S = len(epsilons)
+
+    base = ConstraintParams.create()
+    cparams_s = jax.tree.map(lambda x: jnp.broadcast_to(x, (S,)), base)
+    cparams_s = cparams_s._replace(fm_epsilon=jnp.asarray(epsilons))
+
+    mesh = mesh_lib.sweep_mesh(n_sweep=8, n_devices=8)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"sweep": 8, "data": 1}
+    sweep = attack_step.make_sweep_step(cfg, apply_fn, tables, mesh)
+
+    rng = np.random.default_rng(7)
+    p0 = jnp.asarray(
+        np.tile(rng.standard_normal((1, 1, T)).astype(np.float32) * 1e-3, (S, 1, 1))
+    )
+    opt_s = jax.vmap(lambda p: optimizers.init_opt_state(cfg, p))(p0)
+    lr = jnp.float32(cfg.lr)
+    w = jnp.ones((B,), jnp.float32)
+    active = jnp.ones((S,), jnp.float32)
+    p_s, opt_s, m = sweep(
+        params, p0, opt_s, audio, labels, pads, w, cparams_s, active, lr
+    )
+    assert m.ctc_loss.shape == (S,)
+
+    single = attack_step.make_train_step(cfg, apply_fn, tables)
+    for i in (0, 4, 7):  # smallest, reference fm=8.9, largest
+        p1, _, m1 = single(
+            params, p0[0], optimizers.init_opt_state(cfg, p0[0]),
+            audio, labels, pads, w,
+            base._replace(fm_epsilon=jnp.float32(epsilons[i])), lr,
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_s[i]), np.asarray(p1), atol=1e-6,
+            err_msg=f"cell {i} (fm_epsilon={epsilons[i]})",
+        )
+        np.testing.assert_allclose(float(m.ctc_loss[i]), float(m1.ctc_loss), rtol=1e-5)
+
+
 def test_sweep_step_max_phon_traced(setup):
     """max_phon sweeps through the generic traced-epsilon path: per-cell
     contours are enforced exactly at their own levels (no host-built

@@ -112,6 +112,17 @@ def main() -> int:
     sweep, ops = build_fixture()
     S = len(GRID)
 
+    # Label the first-call timing honestly: with a populated persistent
+    # XLA cache this is a cheap deserialize ("warm"), without one it is
+    # a full compile ("cold") — the two differ by ~20× and an unlabeled
+    # number invites false comparisons (e.g. 13.7 s warm vs ~270 s cold
+    # for the S=8 fm sweep, docs/PERF.md).
+    import jax as _jax
+
+    cache_dir = _jax.config.jax_compilation_cache_dir
+    cache_populated = bool(cache_dir) and os.path.isdir(cache_dir) and bool(
+        os.listdir(cache_dir)
+    )
     t_c = time.perf_counter()
     p_s, opt_s, m = sweep(*ops)
     ops[1], ops[2] = p_s, opt_s
@@ -138,6 +149,8 @@ def main() -> int:
         "single_steps_per_sec_ref": SINGLE_STEPS_PER_SEC,
         "vs_sequential": round(cell_sps / (SINGLE_STEPS_PER_SEC * 1.0), 3),
         "compile_sec": round(compile_s, 1),
+        "compile_cache": "warm" if cache_populated else "cold",
+        "compile_cache_dir": cache_dir or None,
         "ms_per_sweep_step": round(1000 * dt, 1),
     }))
     return 0
