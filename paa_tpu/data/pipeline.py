@@ -469,24 +469,195 @@ class StreamingCorpus:
             )
 
 
+def _combine_cached_fn(cache_a, cache_l, cache_p, miss_a, miss_l, miss_p,
+                       sel_cache, sel_miss, use_miss, rows):
+    """Assemble one batch from the resident row cache + a host-filled
+    miss buffer: two gathers and a select — (B,T)-sized HBM traffic,
+    no host bytes for cache hits. ``rows`` only feeds the weights mask
+    (same −1-padding contract as :func:`_gather_rows_fn`)."""
+    um = use_miss[:, None]
+    audio = jnp.where(um, miss_a[sel_miss], cache_a[sel_cache])
+    labels = jnp.where(um, miss_l[sel_miss], cache_l[sel_cache])
+    pads = jnp.where(um, miss_p[sel_miss], cache_p[sel_cache])
+    w = (rows >= 0).astype(jnp.float32)
+    return audio, labels, pads, w
+
+
+_combine_cached = jax.jit(_combine_cached_fn)
+
+
+class CachedCorpus:
+    """Hybrid feed for splits past the resident budget: a device-resident
+    ROW CACHE plus host fill of the overflow rows only.
+
+    Why not just stream: on the tunneled single-tenant chip the
+    host→device link SERIALIZES with compute, so any feed that moves the
+    full audio every step is link-bound no matter how it is chunked —
+    measured 2026-08-19 (tools/bench_feed.py): host per-batch feed
+    871 ms/step, :class:`StreamingCorpus` super-blocks 960 ms/step,
+    against ~235 ms of step compute. :class:`DeviceCorpus` wins 3.4× by
+    moving ~zero bytes per step, but needs the whole split resident.
+
+    This feed stages the first ``C`` rows of the split (everything the
+    budget allows) exactly like :class:`DeviceCorpus`; each batch then
+    gathers its cache hits on-device and transfers ONLY the miss rows —
+    per-step host bytes shrink by the resident fraction (95% resident →
+    20× fewer bytes). Batches stay bit-identical to the host and gather
+    feeds: ``_batch_rows`` still owns order/shuffle/remainder semantics,
+    and the on-device combine reassembles rows in batch order.
+
+    Miss buffers are padded up to ``MISS_BUCKET`` multiples so the
+    combine compiles for at most ``B/MISS_BUCKET + 1`` shapes instead of
+    one program per distinct miss count, and the next batch's miss
+    transfer is dispatched one step ahead (same overlap idiom as
+    :func:`prefetch_to_device`).
+
+    With a ``mesh`` the cache rows shard over the ``data`` axis and the
+    combine is jitted with batch-sharded outputs — each chip keeps only
+    its cache shard, the (small) miss buffer is replicated, and XLA
+    inserts the gather collectives (same pattern as
+    :class:`DeviceCorpus`'s sharded gather).
+
+    At true reference scale (30k clips ≈ 19 GB, reference:
+    src/training_utils/build.py:114) a single chip's resident fraction
+    is ~3% and this degrades gracefully toward the host feed; the
+    multi-host answer remains per-host sharded staging, which this
+    class's mesh variant is the single-host template for.
+    """
+
+    # 8 rows ≈ 5 MB at the 10 s shape ≈ 70 ms on the measured ~71 MB/s
+    # effective link — the quantization overhead that keeps the ≥2×
+    # end-to-end win at ~95% resident fraction (16 rows measured the
+    # link cost into ~1.9×); at most B/8 + 1 combine programs compile
+    MISS_BUCKET = 8
+
+    def __init__(self, split: "Split", cache_bytes: int, mesh=None):
+        N, T = len(split), split.audio_len
+        L = split.labels.shape[1]
+        row_bytes = T * 4 + split.labels.itemsize * L + 4 * L
+        C = max(1, min(N, int(cache_bytes) // max(row_bytes, 1)))
+        n_data = 1
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            C = max(1, C - C % n_data)  # shard rows evenly
+        audio = np.zeros((C, T), dtype=np.float32)
+        for i in range(C):
+            w = split.waveforms[i]
+            n = min(len(w), T)
+            audio[i, :n] = w[:n]
+        self.split = split
+        self.mesh = mesh
+        self.n_cached = C
+        if mesh is None:
+            put = jax.device_put
+            self._put_miss = jax.device_put
+            self._combine = _combine_cached
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            cache_sh = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            batch_sh = NamedSharding(mesh, P("data"))
+            put = lambda x: jax.device_put(x, cache_sh)
+            self._put_miss = lambda x: jax.device_put(x, repl)
+            self._combine = jax.jit(
+                _combine_cached_fn,
+                in_shardings=(cache_sh, cache_sh, cache_sh,
+                              repl, repl, repl, repl, repl, repl, repl),
+                out_shardings=(batch_sh, batch_sh, batch_sh, batch_sh),
+            )
+        self.audio = put(audio)
+        self.labels = put(np.ascontiguousarray(split.labels[:C]))
+        self.label_paddings = put(np.ascontiguousarray(split.label_paddings[:C]))
+        self._zero_miss = None  # staged once, reused for all-hit batches
+
+    @staticmethod
+    def cache_bytes_for(budget_per_device: int, n_data: int) -> int:
+        return budget_per_device * max(n_data, 1)
+
+    def _stage_miss(self, rows: np.ndarray, batch_size: int):
+        split, C = self.split, self.n_cached
+        T, L = split.audio_len, split.labels.shape[1]
+        use_miss = rows >= C
+        miss_rows = rows[use_miss]
+        m = len(miss_rows)
+        bucket = self.MISS_BUCKET
+        m_pad = max(bucket, -(-m // bucket) * bucket) if m else bucket
+        m_pad = min(m_pad, max(batch_size, bucket))
+        audio = np.zeros((m_pad, T), dtype=np.float32)
+        labels = np.zeros((m_pad, L), dtype=split.labels.dtype)
+        pads = np.ones((m_pad, L), dtype=np.float32)
+        for j, i in enumerate(miss_rows):
+            w = split.waveforms[i]
+            n = min(len(w), T)
+            audio[j, :n] = w[:n]
+            labels[j] = split.labels[i]
+            pads[j] = split.label_paddings[i]
+        sel_miss = np.zeros((batch_size,), np.int32)
+        sel_miss[use_miss] = np.arange(m, dtype=np.int32)
+        sel_cache = np.where(use_miss, 0, np.maximum(rows, 0)).astype(np.int32)
+        if m == 0:
+            # all-hit batch: no rows to transfer — reuse one staged zero
+            # buffer so a fully-resident epoch moves zero audio bytes
+            # (this makes CachedCorpus ≡ DeviceCorpus when it all fits)
+            if self._zero_miss is None:
+                self._zero_miss = self._put_miss((audio, labels, pads))
+            dev_miss = self._zero_miss
+        else:
+            dev_miss = self._put_miss((audio, labels, pads))
+        host_w = (rows >= 0).astype(np.float32)
+        return (dev_miss, jnp.asarray(sel_cache), jnp.asarray(sel_miss),
+                jnp.asarray(use_miss), jnp.asarray(rows), rows, host_w)
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle_rng: np.random.Generator | None = None,
+        drop_remainder: bool = False,
+    ) -> Iterator[Batch]:
+        import collections
+
+        queue = collections.deque()
+
+        def emit(staged) -> Batch:
+            (miss, sel_cache, sel_miss, use_miss, dev_rows, rows,
+             host_w) = staged
+            audio, labels, pads, weights = self._combine(
+                self.audio, self.labels, self.label_paddings,
+                miss[0], miss[1], miss[2],
+                sel_cache, sel_miss, use_miss, dev_rows,
+            )
+            return Batch(audio, labels, pads, weights, rows, host_w)
+
+        for rows in _batch_rows(
+            len(self.split), batch_size, shuffle_rng, drop_remainder
+        ):
+            queue.append(self._stage_miss(rows, batch_size))
+            if len(queue) >= 2:
+                yield emit(queue.popleft())
+        while queue:
+            yield emit(queue.popleft())
+
+
 _DEVICE_CACHE_AUTO_LIMIT = 512 << 20  # bytes per device
 
 
 def maybe_device_corpus(
     split: "Split", enable: bool | None, mesh=None
-) -> "DeviceCorpus | StreamingCorpus | None":
+) -> "DeviceCorpus | CachedCorpus | None":
     """Resolve the device-cache tri-state for one split.
 
     ``None`` (auto) on a TPU backend picks, by the split's PER-DEVICE
     staged share:
       * ≤512 MiB — :class:`DeviceCorpus`: whole split resident, batches
         by on-device gather (fastest; zero per-step feed);
-      * larger — :class:`StreamingCorpus`: double-buffered super-block
-        staging (bounded HBM: 2 blocks of ≤256 MiB/device), which keeps
-        most of the staged-feed win at reference scale (30k clips ≈
-        19 GB, reference: build.py:114) instead of silently reverting
-        to the per-batch host feed.
-    With a ``mesh`` both variants shard over its ``data`` axis, so the
+      * larger — :class:`CachedCorpus`: everything the budget allows
+        stays resident, only the overflow rows transfer per batch —
+        measured 2.4× the host feed at a 540 MB split (docs/PERF.md
+        round 4; :class:`StreamingCorpus` stays available for links
+        where transfers overlap compute, but on THIS tunneled link any
+        full-bytes feed is link-bound and streaming measured 0.91×).
+    With a ``mesh`` all variants shard over its ``data`` axis, so the
     budgets scale with the slice. Explicit True/False still wins (True
     forces the full staging — the caller asked for it; False keeps the
     host feed).
@@ -500,9 +671,9 @@ def maybe_device_corpus(
         if mesh is None and jax.device_count() != 1:
             return None
         if DeviceCorpus.nbytes(split) > _DEVICE_CACHE_AUTO_LIMIT * n_data:
-            return StreamingCorpus(
+            return CachedCorpus(
                 split,
-                block_bytes=StreamingCorpus.block_bytes_for(
+                cache_bytes=CachedCorpus.cache_bytes_for(
                     _DEVICE_CACHE_AUTO_LIMIT, n_data
                 ),
                 mesh=mesh,
@@ -539,12 +710,13 @@ class CorpusCache:
         key = id(split)
         if key not in self._corpora:
             c = maybe_device_corpus(split, self._enable, mesh=self._mesh)
-            if isinstance(c, StreamingCorpus):
+            if isinstance(c, CachedCorpus):
                 logger.info(
                     "split exceeds the resident-HBM budget (%d clips, %.0f MB) "
-                    "— streaming double-buffered %.0f MB super-blocks instead",
+                    "— caching the first %d rows on device (%.0f%%), host-"
+                    "filling only the overflow per batch",
                     len(split), DeviceCorpus.nbytes(split) / 1e6,
-                    c._block_bytes / 1e6,
+                    c.n_cached, 100.0 * c.n_cached / len(split),
                 )
             elif c is not None:
                 logger.info(
