@@ -26,7 +26,13 @@ batch (default 4) and extrapolated LINEARLY in B — eager CPU wav2vec2 is
 compute-bound, so per-sample time is ~constant in B (it only *improves*
 with batching, again generous to the baseline). The FM projection cost
 does not scale with B (it projects the universal p, shape (1, T)) and is
-measured exactly. The reference's SLURM jobs had 2 CPUs
+measured exactly. The linearity assumption was CHECKED at a second
+batch point (2026-08-19, ``--nn_batch 16``): per-sample fwd+bwd time
+*grew* from 3.74 s (B=4 best) to 14.7 s (B=16) on this 1-CPU host —
+eager conv working sets fall out of cache — so the small-B linear
+extrapolation overestimates the baseline's speed and the published
+0.0084 steps/s denominator is conservative (see docs/PERF.md and
+benchmarks/baseline_r4/baseline_b16.json). The reference's SLURM jobs had 2 CPUs
 (submit_scan_range.py:53-55); this host has ``os.cpu_count()`` — the
 reported ``steps_per_sec_2cpu`` assumes PERFECT 2-CPU scaling of the
 measured 1-CPU number when cpu_count==1 (generous again).
