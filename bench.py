@@ -76,6 +76,7 @@ FUSED_QKV = os.environ.get("BENCH_FUSED_QKV", "0") == "1"
 # unrolled, k = partial
 UNROLL = int(os.environ.get("BENCH_UNROLL", "1"))
 COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE")  # None → preset (bf16)
+FE_GELU = os.environ.get("BENCH_FE_GELU", "auto")  # auto | exact | tanh
 
 # --- TPU-reachability guard -------------------------------------------------
 # The TPU arrives over a tunnel that can be DOWN (observed: multi-hour
@@ -174,6 +175,7 @@ def main() -> int:
         flash_block=FLASH_BLOCK,
         fused_qkv=FUSED_QKV,
         remat_ffn=REMAT_FFN,
+        fe_gelu=FE_GELU,
     )
     if COMPUTE_DTYPE:
         overrides["compute_dtype"] = COMPUTE_DTYPE

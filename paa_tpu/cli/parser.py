@@ -126,6 +126,14 @@ def create_arg_parser() -> argparse.ArgumentParser:
                              "compute_dtype is bfloat16 (bit-identical compute, "
                              "half the parameter bytes: lv60 1.26 GB -> 0.63 GB), "
                              "float32 otherwise")
+    parser.add_argument("--fe_gelu", type=str, default="auto",
+                        choices=["auto", "exact", "tanh"],
+                        help="GELU flavor in the feature-extractor conv stack "
+                             "(~2.1e9 activations/step — the hottest VPU op). "
+                             "auto: tanh approximation under bfloat16 compute "
+                             "(its error is below the bf16 cast's own noise; "
+                             "+16%% step rate measured, docs/PERF.md), exact "
+                             "erf under float32. exact/tanh force a flavor")
     parser.add_argument("--attention_impl", type=str, default=None,
                         choices=["xla", "flash", "fused", "auto"],
                         help="default: auto (fused where it fits VMEM on TPU, "

@@ -124,6 +124,7 @@ def load_model_bundle(args, attn_mesh="auto"):
         remat_policy=remat_policy,
         attention_impl=attention_impl,
         attn_mesh=attn_mesh,
+        fe_gelu=getattr(args, "fe_gelu", "auto"),
         **overrides,
     )
     params = None
