@@ -119,7 +119,7 @@ def _sweep_wer(ids_s: np.ndarray, mask: np.ndarray, refs: list[str]) -> np.ndarr
     paths cannot drift."""
     from paa_tpu.train.loop import _batch_wer
 
-    return np.asarray([_batch_wer(ids[mask], refs) for ids in ids_s], np.float64)
+    return np.asarray([_batch_wer(ids[mask], refs)[0] for ids in ids_s], np.float64)
 
 
 def _inspect_cells(
@@ -464,7 +464,7 @@ def _run_norm_sweep(args, norm_type, sizes, pipe, params, apply_fn, root) -> dic
             w = pipeline_lib.host_mask(batch)
             ctc_scores.append(float(m.ctc_loss))
             refs = [split.texts[i] for i in np.asarray(batch.indices)[w]]
-            wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], refs))
+            wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], refs)[0])
         if not ctc_scores:  # same sentinel as AttackRunner.evaluate
             return float("inf"), float("inf")
         n = len(ctc_scores)

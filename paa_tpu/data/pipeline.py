@@ -351,9 +351,12 @@ class StreamingCorpus:
     bit-identical) but stages it in SUPER-BLOCKS of ``block_batches``
     pre-collated batches: one contiguous ``(K, B, T)`` transfer is
     dispatched while the previous block's K batches compute, and blocks
-    are dropped round-robin as they are consumed (two blocks resident —
-    ``ahead=1`` — bounds HBM at 2·K·B·T·4 bytes regardless of corpus
-    size). Per-step cost then is one XLA slice of a resident block.
+    are dropped round-robin as they are consumed. With ``ahead=1`` up to
+    THREE blocks can be live at once — the staging one, the queued one,
+    and the just-drained one until its in-flight steps finish — so HBM
+    is bounded at 3·K·B·T·4 bytes regardless of corpus size
+    (:meth:`block_bytes_for` sizes blocks against that bound). Per-step
+    cost then is one XLA slice of a resident block.
 
     With a ``mesh`` the staged block is sharded ``(None, 'data', None)``
     so each slice comes out batch-sharded exactly like the sharded
@@ -386,9 +389,12 @@ class StreamingCorpus:
 
     @staticmethod
     def block_bytes_for(budget_per_device: int, n_data: int) -> int:
-        # two blocks resident per device → each block gets half the
-        # per-device budget, times the data-axis width it shards over
-        return (budget_per_device // 2) * max(n_data, 1)
+        # Worst case THREE blocks are live per device (ahead=1): the one
+        # being staged, the queued one, and the just-drained one whose
+        # HBM frees only when its in-flight steps finish — so each block
+        # gets a third of the per-device budget, times the data-axis
+        # width it shards over.
+        return (budget_per_device // 3) * max(n_data, 1)
 
     def batches(
         self,
@@ -539,9 +545,14 @@ class CachedCorpus:
         n_data = 1
         if mesh is not None:
             n_data = mesh.shape["data"]
-            C = max(1, C - C % n_data)  # shard rows evenly
+            # Shard rows evenly: C must be a positive multiple of the
+            # data-axis width or the P("data") device_put below raises.
+            # A tiny budget (or a split smaller than the mesh) rounds UP
+            # to one row per device; rows past len(split) stay zero and
+            # are never gathered (batch row indices are always < N).
+            C = max(n_data, C - C % n_data)
         audio = np.zeros((C, T), dtype=np.float32)
-        for i in range(C):
+        for i in range(min(C, N)):
             w = split.waveforms[i]
             n = min(len(w), T)
             audio[i, :n] = w[:n]
@@ -566,9 +577,13 @@ class CachedCorpus:
                               repl, repl, repl, repl, repl, repl, repl),
                 out_shardings=(batch_sh, batch_sh, batch_sh, batch_sh),
             )
+        labels = np.zeros((C, L), dtype=split.labels.dtype)
+        labels[: min(C, N)] = split.labels[: min(C, N)]
+        label_paddings = np.ones((C, L), dtype=split.label_paddings.dtype)
+        label_paddings[: min(C, N)] = split.label_paddings[: min(C, N)]
         self.audio = put(audio)
-        self.labels = put(np.ascontiguousarray(split.labels[:C]))
-        self.label_paddings = put(np.ascontiguousarray(split.label_paddings[:C]))
+        self.labels = put(labels)
+        self.label_paddings = put(label_paddings)
         self._zero_miss = None  # staged once, reused for all-hit batches
 
     @staticmethod

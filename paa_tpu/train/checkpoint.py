@@ -30,9 +30,26 @@ def save_checkpoint(path: str, state: dict) -> None:
 
 
 def load_checkpoint(path: str, template: dict) -> dict:
-    """Load a checkpoint into the structure of ``template``."""
+    """Load a checkpoint into the structure of ``template``.
+
+    Tolerates history-series drift: a checkpoint written before a newer
+    metric series existed (e.g. the targeted emission metrics added in
+    round 4) resumes with that series NaN-backfilled to the length of
+    the surviving series, instead of dying on flax's exact-key check;
+    series the template no longer knows are dropped.
+    """
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    hist, want = raw.get("history"), template.get("history")
+    if isinstance(hist, dict) and isinstance(want, dict):
+        n = max((len(v) for v in hist.values()), default=0)
+        for k in want:
+            if k not in hist:
+                hist[k] = np.full((n,), np.nan)
+        for k in list(hist):
+            if k not in want:
+                del hist[k]
+    return serialization.from_state_dict(template, raw)
 
 
 def save_perturbation(path: str, p) -> None:

@@ -105,10 +105,14 @@ def _truncate_metrics(path: str, start_epoch: int) -> None:
         f.writelines(kept)
 
 
-def _batch_wer(ids: np.ndarray, ref_texts: list[str]) -> float:
+def _batch_wer(
+    ids: np.ndarray, ref_texts: list[str]
+) -> tuple[float, list[str]]:
+    """One decode+normalize path for train AND eval WER (returns the
+    normalized predictions so eval can reuse them for inspection)."""
     preds = [p.lower() for p in text_ops.decode_batch(ids)]
     refs = [r.lower() for r in ref_texts]
-    return wer_ops.wer(preds, refs)
+    return wer_ops.wer(preds, refs), preds
 
 
 class AttackRunner:
@@ -242,7 +246,7 @@ class AttackRunner:
         for m, w, indices in pending:
             ctc_scores.append(float(m.ctc_loss))
             ref = [self.pipe.train.texts[i] for i in np.asarray(indices)[w]]
-            wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], ref))
+            wer_scores.append(_batch_wer(np.asarray(m.greedy_ids)[w], ref)[0])
         avg = lambda v: sum(v) / max(len(v), 1)
         step_time = wall / max(n_steps, 1)
         return p, opt_state, scoring.Scores(avg(ctc_scores), avg(wer_scores)), step_time
@@ -276,12 +280,8 @@ class AttackRunner:
         for m, w, indices in pending:
             ctc_scores.append(float(m.ctc_loss))
             ref = [split.texts[i] for i in np.asarray(indices)[w]]
-            batch_preds = [
-                t.lower()
-                for t in text_ops.decode_batch(np.asarray(m.greedy_ids)[w])
-            ]
-            refs = [r.lower() for r in ref]
-            wer_scores.append(wer_ops.wer(batch_preds, refs))
+            batch_wer, batch_preds = _batch_wer(np.asarray(m.greedy_ids)[w], ref)
+            wer_scores.append(batch_wer)
             if return_preds:
                 preds.extend(batch_preds)
         avg = lambda v: sum(v) / len(v) if v else float("inf")

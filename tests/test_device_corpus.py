@@ -459,3 +459,22 @@ def test_cached_train_epoch_identical(split):
     (p0, tc0, tw0), (p1, tc1, tw1) = results
     np.testing.assert_array_equal(p0, p1)
     assert tc0 == tc1 and tw0 == tw1
+
+
+def test_cached_sharded_tiny_cache(split):
+    """A budget below one row per device still constructs on a mesh: the
+    cache rounds UP to n_data rows (one per device, the P('data')
+    minimum), rows past the split stay zero and are never gathered."""
+    from paa_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.data_mesh()
+    n_data = mesh.shape["data"]
+    cc = pipeline_lib.CachedCorpus(split, cache_bytes=1, mesh=mesh)
+    assert cc.n_cached == n_data
+    host = list(split.batches(8))
+    dev = list(cc.batches(8))
+    assert len(host) == len(dev)
+    for hb, db in zip(host, dev):
+        v = pipeline_lib.host_mask(hb)
+        np.testing.assert_array_equal(hb.audio[v], np.asarray(db.audio)[v])
+        np.testing.assert_array_equal(hb.weights, np.asarray(db.weights))

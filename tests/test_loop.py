@@ -196,3 +196,30 @@ def test_cli_parser_round_trip():
         "--seed", "5", "--small_data", "--num_items_to_inspect", "12",
     ]
     p.parse_args(ref_flags)
+
+
+def test_checkpoint_history_drift_tolerated(tmp_path):
+    """A checkpoint written before a history series existed (e.g. the
+    targeted emission metrics added after a long run started) still
+    loads: the missing series NaN-backfills to the surviving length,
+    series the template dropped disappear."""
+    from paa_tpu.train import checkpoint
+
+    old = {
+        "p": np.zeros((1, 4), np.float32), "epoch": 2,
+        "history": {"train_ctc": np.asarray([1.0, 2.0, 3.0]),
+                    "legacy_series": np.asarray([9.0, 9.0, 9.0])},
+    }
+    path = os.path.join(tmp_path, "attack_state.msgpack")
+    checkpoint.save_checkpoint(path, old)
+    template = {
+        "p": np.zeros((1, 4), np.float32), "epoch": 0,
+        "history": {"train_ctc": np.zeros((0,), np.float64),
+                    "eval_emission_rate": np.zeros((0,), np.float64)},
+    }
+    state = checkpoint.load_checkpoint(path, template)
+    assert int(state["epoch"]) == 2
+    np.testing.assert_array_equal(state["history"]["train_ctc"], [1.0, 2.0, 3.0])
+    assert "legacy_series" not in state["history"]
+    em = np.asarray(state["history"]["eval_emission_rate"])
+    assert em.shape == (3,) and np.all(np.isnan(em))

@@ -38,6 +38,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _with_speedups(results: dict) -> dict:
+    """Attach <kind>_speedup_vs_host ratios — the ONE place the derived
+    metric is computed, shared by parent and child modes."""
+    out = dict(results)
+    for k in ("stream", "cached", "gather"):
+        if "host" in results and k in results:
+            out[f"{k}_speedup_vs_host"] = round(
+                results["host"]["ms_per_step"] / results[k]["ms_per_step"], 2
+            )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=1600,
@@ -87,13 +99,9 @@ def main() -> int:
             results[kind] = child[kind]
             backend = child.get("backend", backend)
             metric = child.get("metric")
+        out = _with_speedups(results)
         out = {"metric": metric, "backend": backend,
-               "process_per_feed": True, **results}
-        for k in ("stream", "cached", "gather"):
-            if "host" in results and k in results:
-                out[f"{k}_speedup_vs_host"] = round(
-                    results["host"]["ms_per_step"] / results[k]["ms_per_step"], 2
-                )
+               "process_per_feed": True, **out}
         print(json.dumps(out))
         return 0
 
@@ -207,13 +215,8 @@ def main() -> int:
             f"{split_mb:.0f} MB train split, fletcher_munson PGD)"
         ),
         "backend": jax.default_backend(),
-        **results,
+        **_with_speedups(results),
     }
-    for k in ("stream", "cached", "gather"):
-        if "host" in results and k in results:
-            out[f"{k}_speedup_vs_host"] = round(
-                results["host"]["ms_per_step"] / results[k]["ms_per_step"], 2
-            )
     print(json.dumps(out))
     return 0
 

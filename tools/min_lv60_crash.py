@@ -131,7 +131,9 @@ def main() -> int:
             for line in f:
                 try:
                     d = json.loads(line)
-                    done[(d["B"], d["layers"])] = d
+                    # key includes audio_len: a rerun at a different T
+                    # must re-measure, not skip on stale (B, layers)
+                    done[(d["B"], d["layers"], d.get("audio_len"))] = d
                 except json.JSONDecodeError:
                     pass
 
@@ -145,9 +147,10 @@ def main() -> int:
         ]
 
     for B, layers in schedule:
-        if (B, layers) in done:
-            print(f"# skip B={B} layers={layers}: "
-                  f"{done[(B, layers)]['outcome']}", file=sys.stderr)
+        key = (B, layers, args.audio_len)
+        if key in done:
+            print(f"# skip B={B} layers={layers} T={args.audio_len}: "
+                  f"{done[key]['outcome']}", file=sys.stderr)
             continue
         print(f"# attempt B={B} layers={layers} "
               f"(timeout {args.timeout:.0f}s)...", file=sys.stderr)
