@@ -77,6 +77,7 @@ FUSED_QKV = os.environ.get("BENCH_FUSED_QKV", "0") == "1"
 UNROLL = int(os.environ.get("BENCH_UNROLL", "1"))
 COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE")  # None → preset (bf16)
 FE_GELU = os.environ.get("BENCH_FE_GELU", "auto")  # auto | exact | tanh
+CONV_IMPL = os.environ.get("BENCH_CONV_IMPL", "conv")  # conv|hybrid|pairdot|...
 
 # --- TPU-reachability guard -------------------------------------------------
 # The TPU arrives over a tunnel that can be DOWN (observed: multi-hour
@@ -176,6 +177,7 @@ def main() -> int:
         fused_qkv=FUSED_QKV,
         remat_ffn=REMAT_FFN,
         fe_gelu=FE_GELU,
+        conv_impl=CONV_IMPL,
     )
     if COMPUTE_DTYPE:
         overrides["compute_dtype"] = COMPUTE_DTYPE

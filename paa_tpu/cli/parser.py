@@ -134,6 +134,14 @@ def create_arg_parser() -> argparse.ArgumentParser:
                              "(its error is below the bf16 cast's own noise; "
                              "+16%% step rate measured, docs/PERF.md), exact "
                              "erf under float32. exact/tanh force a flavor")
+    parser.add_argument("--conv_impl", type=str, default="conv",
+                        choices=["conv", "hybrid", "pairdot", "im2col", "tapdot"],
+                        help="feature-extractor conv lowering (all impls share "
+                             "one WIO param layout). conv: XLA-native (default); "
+                             "hybrid: XLA forward + phase-matmul backward "
+                             "(custom VJP; avoids the transposed-conv dgrad); "
+                             "pairdot/im2col/tapdot: all-matmul lowerings "
+                             "(docs/PERF.md)")
     parser.add_argument("--attention_impl", type=str, default=None,
                         choices=["xla", "flash", "fused", "auto"],
                         help="default: auto (fused where it fits VMEM on TPU, "

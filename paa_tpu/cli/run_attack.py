@@ -125,6 +125,7 @@ def load_model_bundle(args, attn_mesh="auto"):
         attention_impl=attention_impl,
         attn_mesh=attn_mesh,
         fe_gelu=getattr(args, "fe_gelu", "auto"),
+        conv_impl=getattr(args, "conv_impl", "conv"),
         **overrides,
     )
     params = None

@@ -115,6 +115,12 @@ class Wav2Vec2Config:
     #   but the (B, T', k·C) patch concat is materialized in HBM.
     # "tapdot": Σ_r slice_r(x) @ W_r — k accumulated MXU dots with a
     #   full C_in contraction dim each and NO patch buffer.
+    # "hybrid": lax.conv forward + phase-matmul backward (custom VJP) —
+    #   keeps XLA's fast native forward but replaces its dgrad (an
+    #   input-dilated transposed conv, measured ~3× off its roofline on
+    #   the strided k=3 layers) with pairdot's transpose: nb=ceil(k/s)
+    #   dense bf16 MXU dots over contiguous time, overlap-added by
+    #   static pads. wgrad is nb einsums contracting over B·T_out.
     conv_impl: str = "conv"
     # GELU flavor for the feature-extractor conv stack — the hottest
     # activation in the program (~2.1e9 elements/step at B=64 × 10 s,
@@ -179,7 +185,7 @@ class Wav2Vec2Config:
 
     def __post_init__(self):
         checks = {
-            "conv_impl": ("conv", "pairdot", "im2col", "tapdot"),
+            "conv_impl": ("conv", "pairdot", "im2col", "tapdot", "hybrid"),
             "attention_impl": ("xla", "flash", "fused", "auto"),
             "feat_extract_norm": ("group", "layer"),
             "remat_policy": ("full", "save_cheap", "no_probs", "save_resid"),
@@ -310,6 +316,81 @@ def _pairdot_conv(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
     return y
 
 
+def _pairdot_blocks(w: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Regroup a ``(k, C, O)`` WIO kernel into pairdot's ``(nb, s·C, O)``
+    phase blocks (missing taps of the last block are zero rows)."""
+    k, C, O = w.shape
+    nb = -(-k // stride)
+    wb = jnp.pad(w, [(0, nb * stride - k), (0, 0), (0, 0)])
+    return wb.reshape(nb, stride * C, O)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _hybrid_conv(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """VALID strided conv: XLA-native forward, phase-matmul backward.
+
+    Forward is ``lax.conv_general_dilated`` — the fastest measured FE
+    forward (2× im2col, docs/PERF.md). Its autodiff dgrad, however, is
+    an input-dilated transposed conv that the TPU backend runs ~3× off
+    the layer's roofline at the FE's strided k=3 shapes (per-layer
+    profile, docs/PERF.md round 4). This custom VJP swaps in the
+    transpose of `_pairdot_conv`'s phase decomposition: reshape time
+    into stride-sized phases so the dgrad becomes ``nb = ceil(k/s)``
+    dense bf16 MXU dots over CONTIGUOUS time, overlap-added with static
+    pads — no dilation, no scatter, no conv lowering. wgrad (used only
+    when the model itself is trained, e.g. train/pretrain.py) is the
+    matching ``nb`` einsums contracting over B·T_out.
+    """
+    return jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+
+
+def _hybrid_conv_fwd(x, w, stride):
+    return _hybrid_conv(x, w, stride), (x, w)
+
+
+def _hybrid_conv_bwd(stride, res, dy):
+    x, w = res
+    B, T, C = x.shape
+    k = w.shape[0]
+    s, L = stride, dy.shape[1]
+    nb = -(-k // s)
+    lz = L - 1 + nb
+    need = lz * s
+    wb = _pairdot_blocks(w, s)  # (nb, s*C, O)
+    # dgrad: dz[u] = Σ_j dy[u-j] @ wb[j]ᵀ over the (B, lz, s·C) phase
+    # grid, then un-reshape phases back into time.
+    dz = None
+    for j in range(nb):
+        d = jnp.dot(dy, wb[j].T, preferred_element_type=jnp.float32)
+        d = jnp.pad(d, [(0, 0), (j, nb - 1 - j), (0, 0)])
+        dz = d if dz is None else dz + d
+    dx = dz.reshape(B, need, C)
+    # pairdot's forward geometry: x is sliced to `need` when longer
+    # (those trailing samples never enter the conv ⇒ zero grad) and
+    # zero-padded when shorter (those grads are dropped).
+    dx = dx[:, :T, :] if need >= T else jnp.pad(dx, [(0, 0), (0, T - need), (0, 0)])
+    # wgrad: dwb[j] = z[:, j:j+L]ᵀ @ dy, contraction over B·L.
+    z = x if need <= T else jnp.pad(x, [(0, 0), (0, need - T), (0, 0)])
+    z = z[:, :need, :].reshape(B, lz, s * C)
+    dwb = jnp.stack([
+        jnp.einsum(
+            "bts,bto->so", z[:, j : j + L, :], dy,
+            preferred_element_type=jnp.float32,
+        )
+        for j in range(nb)
+    ])
+    dw = dwb.reshape(nb * s, C, -1)[:k]
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+_hybrid_conv.defvjp(_hybrid_conv_fwd, _hybrid_conv_bwd)
+
+
 class ConvLayer(nn.Module):
     cfg: Wav2Vec2Config
     layer_id: int
@@ -342,6 +423,8 @@ class ConvLayer(nn.Module):
             )
         elif cfg.conv_impl == "pairdot":
             x = _pairdot_conv(xc, w, s)
+        elif cfg.conv_impl == "hybrid":
+            x = _hybrid_conv(xc, w, s)
         elif cfg.conv_impl == "tapdot" and in_ch > 1:
             t_out = (xc.shape[1] - k) // s + 1
             span = (t_out - 1) * s + 1

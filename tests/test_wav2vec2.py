@@ -149,12 +149,47 @@ def test_conv_impls_match():
         np.random.default_rng(0).standard_normal((2, 4000)).astype(np.float32) * 0.1
     )
     la = wav2vec2.Wav2Vec2ForCTC(cfg_a).apply({"params": pa}, audio)
-    for impl in ("conv", "tapdot", "pairdot"):
+    for impl in ("conv", "tapdot", "pairdot", "hybrid"):
         cfg_b = wav2vec2.get_config("wav2vec2-tiny", conv_impl=impl)
         lb = wav2vec2.Wav2Vec2ForCTC(cfg_b).apply({"params": pa}, audio)
         np.testing.assert_allclose(
             np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5, err_msg=impl
         )
+
+
+def test_hybrid_conv_grads_match_autodiff():
+    """The hybrid impl's custom VJP (phase-matmul dgrad/wgrad) matches
+    lax.conv autodiff for BOTH cotangents, in f32, across the FE's
+    stride/kernel geometries — including k % s != 0 (nb padding), k == s,
+    C_in == 1 (layer 0), and input lengths where pairdot's phase grid is
+    shorter AND longer than T."""
+    rng = np.random.default_rng(7)
+    geometries = [
+        # (T, C, O, k, s) — layer-0-like, layer-1-like, k==s, ragged tails
+        (1009, 1, 16, 10, 5),
+        (501, 8, 16, 3, 2),
+        (500, 8, 16, 3, 2),
+        (64, 8, 16, 2, 2),
+        (37, 4, 8, 5, 3),
+    ]
+    for T, C, O, k, s in geometries:
+        x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((k, C, O)).astype(np.float32) * 0.1)
+
+        ref_dx, ref_dw = jax.grad(
+            lambda xx, ww: jnp.sum(jnp.cos(jax.lax.conv_general_dilated(
+                xx, ww, window_strides=(s,), padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC")))),
+            argnums=(0, 1))(x, w)
+        got_dx, got_dw = jax.grad(
+            lambda xx, ww: jnp.sum(jnp.cos(wav2vec2._hybrid_conv(xx, ww, s))),
+            argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(
+            np.asarray(got_dx), np.asarray(ref_dx), rtol=1e-5, atol=1e-5,
+            err_msg=f"dx T={T} C={C} k={k} s={s}")
+        np.testing.assert_allclose(
+            np.asarray(got_dw), np.asarray(ref_dw), rtol=1e-5, atol=1e-5,
+            err_msg=f"dw T={T} C={C} k={k} s={s}")
 
 
 def test_encoder_unroll_matches_scan():

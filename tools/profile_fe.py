@@ -44,6 +44,9 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--audio_len", type=int, default=160000)
     ap.add_argument("--model", default="wav2vec2-base")
+    ap.add_argument("--conv_impl", default=None,
+                    help="override cfg.conv_impl (e.g. 'hybrid' to A/B "
+                         "the phase-matmul backward)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--platform", default=None, choices=[None, "tpu", "cpu"])
     ap.add_argument("--probe_timeout", type=float, default=900.0)
@@ -62,7 +65,8 @@ def main() -> int:
 
     from paa_tpu.models import wav2vec2
 
-    base = wav2vec2.get_config(args.model, compute_dtype="bfloat16")
+    overrides = {"conv_impl": args.conv_impl} if args.conv_impl else {}
+    base = wav2vec2.get_config(args.model, compute_dtype="bfloat16", **overrides)
     B, T = args.batch, args.audio_len
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32) * 0.1)
@@ -139,7 +143,8 @@ def main() -> int:
         t_in, c_in = t_out, c_out
 
     out = {
-        "metric": f"FE per-layer profile ({args.model}, B={B}, {T/16000:.0f}s, bf16)",
+        "metric": (f"FE per-layer profile ({args.model}, B={B}, "
+                   f"{T/16000:.0f}s, bf16, conv_impl={base.conv_impl})"),
         "backend": jax.default_backend(),
         "fe_total_fwd_ms": round(fwd_ms[-1], 1),
         "fe_total_fwd_dgrad_ms": round(both_ms[-1], 1),
