@@ -55,6 +55,9 @@ def collect(root: str) -> list[dict]:
 
 def render(rows: list[dict]) -> str:
     fmt = lambda v: ("-" if v is None else (f"{v:.3f}" if isinstance(v, float) else str(v)))
+    # sizes span decades (linf 1e-4 vs 3e-4) — fixed .3f collapses both
+    # to "0.000"; %g keeps close epsilons distinct
+    fmt_size = lambda v: ("-" if v is None else (f"{v:g}" if isinstance(v, float) else str(v)))
     header = (
         f"{'norm':<16} {'size':>9} {'mode':<11} {'dataset':<13} "
         f"{'cleanCTC':>9} {'pertCTC':>9} {'cleanWER':>9} {'pertWER':>9} {'eff':>6} {'done':>5}"
@@ -62,7 +65,7 @@ def render(rows: list[dict]) -> str:
     lines = [header, "-" * len(header)]
     for r in sorted(rows, key=lambda r: (str(r["norm_type"]), r["attack_size"] or 0)):
         lines.append(
-            f"{fmt(r['norm_type']):<16} {fmt(r['attack_size']):>9} {r['attack_mode']:<11} "
+            f"{fmt(r['norm_type']):<16} {fmt_size(r['attack_size']):>9} {r['attack_mode']:<11} "
             f"{r['dataset']:<13} {fmt(r['clean_ctc']):>9} {fmt(r['pert_ctc']):>9} "
             f"{fmt(r['clean_wer']):>9} {fmt(r['pert_wer']):>9} "
             f"{fmt(r['efficiency_ctc']):>6} {str(r['finished']):>5}"

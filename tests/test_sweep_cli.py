@@ -109,6 +109,22 @@ def test_aggregate_collects_sweep_results(sweep_summary):
         assert r["pert_ctc"] is not None and np.isfinite(r["pert_ctc"])
 
 
+def test_aggregate_renders_close_sizes_distinctly():
+    """Sub-milli epsilons must stay distinguishable in the table: fixed
+    .3f formatting printed linf 1e-4 and 3e-4 both as '0.000'
+    (round-4 verdict). The size column uses %g."""
+    base = {
+        "run": "x", "attack_mode": "untargeted", "dataset": "synthetic",
+        "optimizer": "pgd", "norm_type": "linf", "finished": True,
+        "clean_ctc": 1.0, "clean_wer": 1.0, "pert_ctc": 2.0, "pert_wer": 1.0,
+        "efficiency_ctc": 2.0, "steps_per_sec": None, "error": None,
+    }
+    rows = [dict(base, attack_size=1e-4), dict(base, attack_size=3e-4)]
+    table = aggregate.render(rows)
+    assert "0.0001" in table and "0.0003" in table
+    assert "0.000 " not in table
+
+
 def test_one_cell_sweep_matches_run_attack(tmp_path):
     """A 1-cell sweep is the reference's single SLURM job: it must
     reproduce loop.run_attack's result for the same epsilon (reference:
