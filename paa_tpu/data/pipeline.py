@@ -334,147 +334,6 @@ def _gather_rows_fn(audio, labels, pads, rows):
 _gather_rows = jax.jit(_gather_rows_fn)
 
 
-class StreamingCorpus:
-    """Feed for splits too big to stage whole: double-buffered HBM blocks.
-
-    :class:`DeviceCorpus` wins by replacing the per-step host→device
-    batch copy with an on-device gather, but it needs the whole split
-    resident (≤512 MiB/device). Reference-scale corpora (30k clips ≈
-    19 GB, reference: build.py:114) don't fit, and the host feed it
-    falls back to was measured 3.4× slower end-to-end (docs/PERF.md) —
-    not because the link lacks bandwidth for one batch, but because a
-    per-batch copy with one-batch lookahead leaves the link idle between
-    transfers and pays its round-trip latency every step.
-
-    This feed keeps the epoch's exact batch order (``_batch_rows`` — the
-    shared source of order semantics, so all three feeds stay
-    bit-identical) but stages it in SUPER-BLOCKS of ``block_batches``
-    pre-collated batches: one contiguous ``(K, B, T)`` transfer is
-    dispatched while the previous block's K batches compute, and blocks
-    are dropped round-robin as they are consumed. With ``ahead=1`` up to
-    THREE blocks can be live at once — the staging one, the queued one,
-    and the just-drained one until its in-flight steps finish — so HBM
-    is bounded at 3·K·B·T·4 bytes regardless of corpus size
-    (:meth:`block_bytes_for` sizes blocks against that bound). Per-step
-    cost then is one XLA slice of a resident block.
-
-    With a ``mesh`` the staged block is sharded ``(None, 'data', None)``
-    so each slice comes out batch-sharded exactly like the sharded
-    step's inputs — each chip receives only its batch shard of the
-    block.
-    """
-
-    def __init__(
-        self,
-        split: "Split",
-        block_bytes: int,
-        mesh=None,
-        ahead: int = 1,
-    ):
-        self.split = split
-        self.mesh = mesh
-        self._block_bytes = int(block_bytes)
-        self._ahead = max(1, ahead)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            self._block_sharding = NamedSharding(mesh, P(None, "data", None))
-            self._label_sharding = NamedSharding(mesh, P(None, "data", None))
-        else:
-            self._block_sharding = None
-
-    def _block_batches(self, batch_size: int, block_bytes: int) -> int:
-        batch_bytes = batch_size * self.split.audio_len * 4
-        return max(1, block_bytes // max(batch_bytes, 1))
-
-    @staticmethod
-    def block_bytes_for(budget_per_device: int, n_data: int) -> int:
-        # Worst case THREE blocks are live per device (ahead=1): the one
-        # being staged, the queued one, and the just-drained one whose
-        # HBM frees only when its in-flight steps finish — so each block
-        # gets a third of the per-device budget, times the data-axis
-        # width it shards over.
-        return (budget_per_device // 3) * max(n_data, 1)
-
-    def batches(
-        self,
-        batch_size: int,
-        shuffle_rng: np.random.Generator | None = None,
-        drop_remainder: bool = False,
-        block_bytes: int | None = None,
-    ) -> Iterator[Batch]:
-        import collections
-
-        split = self.split
-        K = self._block_batches(batch_size, block_bytes or self._block_bytes)
-
-        def stage(rows_group: list[np.ndarray]):
-            k = len(rows_group)
-            B, T = batch_size, split.audio_len
-            L = split.labels.shape[1]
-            audio = np.zeros((k, B, T), dtype=np.float32)
-            labels = np.full((k, B, L), text_ops.PAD_ID, dtype=np.int32)
-            pads = np.ones((k, B, L), dtype=np.float32)
-            weights = np.zeros((k, B), dtype=np.float32)
-            for bi, rows in enumerate(rows_group):
-                for j, i in enumerate(rows):
-                    if i < 0:
-                        continue
-                    w = split.waveforms[i]
-                    n = min(len(w), T)
-                    audio[bi, j, :n] = w[:n]
-                    labels[bi, j] = split.labels[i]
-                    pads[bi, j] = split.label_paddings[i]
-                    weights[bi, j] = 1.0
-            if self._block_sharding is not None:
-                dev_audio = jax.device_put(audio, self._block_sharding)
-                dev_labels = jax.device_put(labels, self._label_sharding)
-                dev_pads = jax.device_put(pads, self._label_sharding)
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                dev_w = jax.device_put(
-                    weights, NamedSharding(self.mesh, P(None, "data"))
-                )
-            else:
-                dev_audio, dev_labels, dev_pads, dev_w = jax.device_put(
-                    (audio, labels, pads, weights)
-                )
-            return dev_audio, dev_labels, dev_pads, dev_w, rows_group, weights
-
-        def grouped():
-            group: list[np.ndarray] = []
-            for rows in _batch_rows(
-                len(split), batch_size, shuffle_rng, drop_remainder
-            ):
-                group.append(rows)
-                if len(group) == K:
-                    yield group
-                    group = []
-            if group:
-                yield group
-
-        queue = collections.deque()
-        gen = grouped()
-        # double-buffer: keep `ahead` future blocks in flight (device_put
-        # dispatches the copy asynchronously); consumed blocks drop out of
-        # the deque and their HBM frees once in-flight steps finish
-        for g in gen:
-            queue.append(stage(g))
-            if len(queue) <= self._ahead:
-                continue
-            yield from self._drain(queue.popleft())
-        while queue:
-            yield from self._drain(queue.popleft())
-
-    def _drain(self, staged) -> Iterator[Batch]:
-        dev_audio, dev_labels, dev_pads, dev_w, rows_group, host_w = staged
-        for bi, rows in enumerate(rows_group):
-            yield Batch(
-                dev_audio[bi], dev_labels[bi], dev_pads[bi], dev_w[bi],
-                rows, host_w[bi],
-            )
-
-
 def _combine_cached_fn(cache_a, cache_l, cache_p, miss_a, miss_l, miss_p,
                        sel_cache, sel_miss, use_miss, rows):
     """Assemble one batch from the resident row cache + a host-filled
@@ -500,7 +359,9 @@ class CachedCorpus:
     host→device link SERIALIZES with compute, so any feed that moves the
     full audio every step is link-bound no matter how it is chunked —
     measured 2026-08-19 (tools/bench_feed.py): host per-batch feed
-    871 ms/step, :class:`StreamingCorpus` super-blocks 960 ms/step,
+    871 ms/step, double-buffered streaming super-blocks 960 ms/step
+    (that StreamingCorpus feed was removed in round 5: 0.91× the host
+    feed with no winning link available to justify it),
     against ~235 ms of step compute. :class:`DeviceCorpus` wins 3.4× by
     moving ~zero bytes per step, but needs the whole split resident.
 
@@ -669,9 +530,9 @@ def maybe_device_corpus(
       * larger — :class:`CachedCorpus`: everything the budget allows
         stays resident, only the overflow rows transfer per batch —
         measured 2.4× the host feed at a 540 MB split (docs/PERF.md
-        round 4; :class:`StreamingCorpus` stays available for links
-        where transfers overlap compute, but on THIS tunneled link any
-        full-bytes feed is link-bound and streaming measured 0.91×).
+        round 4; a streaming super-block feed was measured too and
+        removed — on this tunneled link any full-bytes feed is
+        link-bound: 0.91× the host feed).
     With a ``mesh`` all variants shard over its ``data`` axis, so the
     budgets scale with the slice. Explicit True/False still wins (True
     forces the full staging — the caller asked for it; False keeps the

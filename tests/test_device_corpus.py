@@ -192,112 +192,6 @@ def test_sharded_train_epoch_identical_with_cache():
     assert tc0 == tc1 and ec0 == ec1 and ew0 == ew1
 
 
-# -- streaming super-block feed (data/pipeline.py:StreamingCorpus) -------
-
-
-def test_streaming_batches_match_host_collate(split):
-    """Every batch of the streaming feed equals the host collate feed —
-    padding rows INCLUDED (blocks pre-collate on the host with the same
-    zero-fill), across multiple small blocks and the padded final batch."""
-    B = 8
-    batch_bytes = B * split.audio_len * 4
-    # 2 batches per block -> several blocks per epoch
-    sc = pipeline_lib.StreamingCorpus(split, block_bytes=2 * batch_bytes)
-    host = list(split.batches(B))
-    dev = list(sc.batches(B))
-    assert len(host) == len(dev) and len(split) % B != 0
-    for hb, db in zip(host, dev):
-        np.testing.assert_array_equal(hb.audio, np.asarray(db.audio))
-        np.testing.assert_array_equal(hb.labels, np.asarray(db.labels))
-        np.testing.assert_array_equal(
-            hb.label_paddings, np.asarray(db.label_paddings)
-        )
-        np.testing.assert_array_equal(hb.weights, np.asarray(db.weights))
-        np.testing.assert_array_equal(hb.indices, db.indices)
-        assert isinstance(db.host_weights, np.ndarray)
-        np.testing.assert_array_equal(
-            pipeline_lib.host_mask(db), pipeline_lib.host_mask(hb)
-        )
-
-
-def test_streaming_shuffle_matches_host(split):
-    sc = pipeline_lib.StreamingCorpus(
-        split, block_bytes=3 * 8 * split.audio_len * 4
-    )
-    host = list(split.batches(8, shuffle_rng=np.random.default_rng(3)))
-    dev = list(sc.batches(8, shuffle_rng=np.random.default_rng(3)))
-    for hb, db in zip(host, dev):
-        np.testing.assert_array_equal(hb.indices, db.indices)
-        np.testing.assert_array_equal(hb.audio, np.asarray(db.audio))
-
-
-def test_streaming_tiny_block_degenerates_to_one_batch(split):
-    """block_bytes below one batch still works (K=1: per-batch staging)."""
-    sc = pipeline_lib.StreamingCorpus(split, block_bytes=1)
-    host = list(split.batches(8))
-    dev = list(sc.batches(8))
-    assert len(host) == len(dev)
-    np.testing.assert_array_equal(host[-1].audio, np.asarray(dev[-1].audio))
-
-
-def test_streaming_sharded_batches(split):
-    """Mesh variant: staged blocks shard (None, 'data', None) so every
-    sliced batch comes out batch-sharded over the data axis, numerically
-    equal to the host feed."""
-    from paa_tpu.parallel import mesh as mesh_lib
-
-    mesh = mesh_lib.data_mesh()
-    sc = pipeline_lib.StreamingCorpus(
-        split, block_bytes=2 * 8 * split.audio_len * 4, mesh=mesh
-    )
-    host = list(split.batches(8))
-    dev = list(sc.batches(8))
-    assert len(host) == len(dev)
-    for hb, db in zip(host, dev):
-        np.testing.assert_array_equal(hb.audio, np.asarray(db.audio))
-        np.testing.assert_array_equal(hb.weights, np.asarray(db.weights))
-    shard_shapes = {s.data.shape for s in dev[0].audio.addressable_shards}
-    assert shard_shapes == {(1, split.audio_len)}
-
-
-def test_streaming_train_epoch_identical(split):
-    """A full AttackRunner epoch fed by the streaming corpus equals the
-    host-feed epoch bit-for-bit (same p, same metrics) — the guarantee
-    that lets the auto tier swap feeds silently."""
-    mcfg = wav2vec2.get_config("wav2vec2-tiny")
-    params = wav2vec2.init_params(mcfg, example_len=4000)
-    model = wav2vec2.Wav2Vec2ForCTC(mcfg)
-    apply_fn = lambda prm, audio: model.apply({"params": prm}, audio)
-    samples = datasets.load_dataset_tuples("synthetic", synthetic_samples=36)
-    pipe = pipeline_lib.build_pipeline(samples, seed=5)
-
-    results = []
-    for streaming in (False, True):
-        cfg = AttackConfig(
-            norm_type="l2", optimizer_type="adam", lr=5e-3, batch_size=8,
-            num_epochs=1, seed=5, model_name="wav2vec2-tiny",
-            cache_data_on_device=False,
-        )
-        runner = loop.AttackRunner(
-            cfg, apply_fn, params, pipe,
-            cparams=ConstraintParams.create(l2_size=0.5), use_mesh=False,
-        )
-        if streaming:
-            # force the streaming tier into the runner's feed cache
-            sc = pipeline_lib.StreamingCorpus(
-                pipe.train, block_bytes=2 * 8 * pipe.audio_len * 4
-            )
-            runner._corpus_cache._corpora[id(pipe.train)] = sc
-        p = runner.init_perturbation(seed=5)
-        opt = optimizers.init_opt_state(cfg, p)
-        p, opt, scores, _ = runner.train_epoch(
-            p, opt, 0, shuffle_rng=np.random.default_rng(7)
-        )
-        results.append((np.asarray(p), scores.ctc, scores.wer))
-
-    (p0, tc0, tw0), (p1, tc1, tw1) = results
-    np.testing.assert_array_equal(p0, p1)
-    assert tc0 == tc1 and tw0 == tw1
 
 
 def test_auto_tier_picks_cached_past_budget(split, monkeypatch):

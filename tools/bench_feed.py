@@ -3,12 +3,15 @@
 Round-3 measured the whole-split DeviceCorpus at 3.4× the host feed
 (docs/PERF.md) but it caps at 512 MiB/device; reference-scale splits
 (30k clips ≈ 19 GB, reference: src/training_utils/build.py:114)
-silently reverted to the host feed. data/pipeline.StreamingCorpus
-closes that gap with double-buffered super-block staging. This tool
-measures, on one chip, steady-state ms/step of:
+silently reverted to the host feed. data/pipeline.CachedCorpus closes
+that gap with a device-resident row cache + host fill of the overflow
+(the round-4 winner, 2.44×; a double-buffered streaming super-block
+feed was also measured — 0.91×, link-bound on this tunnel — and was
+removed in round 5). This tool measures, on one chip, steady-state
+ms/step of:
 
   * host    — per-batch collate + 2-deep device prefetch (the fallback),
-  * stream  — StreamingCorpus (bounded HBM: 2 × 256 MiB blocks),
+  * cached  — CachedCorpus (512 MiB row cache + per-batch miss fill),
   * gather  — whole-split DeviceCorpus (only if it fits; the control)
 
 over a synthetic corpus sized ABOVE the 512 MiB resident budget, with
@@ -42,7 +45,7 @@ def _with_speedups(results: dict) -> dict:
     """Attach <kind>_speedup_vs_host ratios — the ONE place the derived
     metric is computed, shared by parent and child modes."""
     out = dict(results)
-    for k in ("stream", "cached", "gather"):
+    for k in ("cached", "gather"):
         if "host" in results and k in results:
             out[f"{k}_speedup_vs_host"] = round(
                 results["host"]["ms_per_step"] / results[k]["ms_per_step"], 2
@@ -64,9 +67,8 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=3,
                     help="timed epochs per feed (epoch 1 of the run pays compile)")
     ap.add_argument("--model", default="wav2vec2-base")
-    ap.add_argument("--feeds", default="host,stream",
-                    help="comma list of host,stream,gather")
-    ap.add_argument("--block_mib", type=int, default=256)
+    ap.add_argument("--feeds", default="host,cached",
+                    help="comma list of host,cached,gather")
     ap.add_argument("--probe_timeout", type=float, default=900.0)
     ap.add_argument("--platform", default=None, choices=[None, "tpu", "cpu"])
     args = ap.parse_args()
@@ -84,7 +86,6 @@ def main() -> int:
                     "--feeds", kind]
             for flag, val in (("--clips", args.clips), ("--batch", args.batch),
                               ("--epochs", args.epochs), ("--model", args.model),
-                              ("--block_mib", args.block_mib),
                               ("--probe_timeout", args.probe_timeout)):
                 argv += [flag, str(val)]
             argv += ["--words", str(args.words[0]), str(args.words[1])]
@@ -157,9 +158,6 @@ def main() -> int:
             return pipeline_lib.prefetch_to_device(
                 split.batches(args.batch, shuffle_rng=rng)
             )
-        if kind == "stream":
-            sc = feed_iter.stream_corpus
-            return sc.batches(args.batch, shuffle_rng=rng)
         if kind == "cached":
             return feed_iter.cached_corpus.batches(args.batch, shuffle_rng=rng)
         if kind == "gather":
@@ -169,10 +167,6 @@ def main() -> int:
     results = {}
     for kind in args.feeds.split(","):
         kind = kind.strip()
-        if kind == "stream":
-            feed_iter.stream_corpus = pipeline_lib.StreamingCorpus(
-                split, block_bytes=args.block_mib << 20
-            )
         if kind == "cached":
             feed_iter.cached_corpus = pipeline_lib.CachedCorpus(
                 split, cache_bytes=512 << 20
@@ -204,7 +198,6 @@ def main() -> int:
         }
         del p, opt
         # drop staged corpora before the next feed claims HBM
-        feed_iter.stream_corpus = None
         feed_iter.cached_corpus = None
         feed_iter.gather_corpus = None
 
