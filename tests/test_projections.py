@@ -148,6 +148,51 @@ def test_phon_contour_exact_at_integer_levels():
     assert (mid <= np.maximum(lo, hi) + 1e-4).all()
 
 
+def test_phon_anchor_pinned_at_reference_db(setup):
+    """The max-normalized phon threshold pins its loudest bin at exactly
+    ``phon_reference_db`` for EVERY phon level — the mechanism behind the
+    measured phon-invariance of the max_phon family (pertWER ≈ 1.0 for
+    phon 1→70, benchmarks/quality_r5/analysis.md; reference formula:
+    src/core/projections.py:138-159). The binding knob is the dB anchor,
+    not the phon level; this test pins that property of the kept
+    reference semantics so a refactor can't silently change which knob
+    binds."""
+    cfg, tables, params = setup
+    for lvl in (1.0, 10.0, 25.0, 70.0):
+        contour = psycho.phon_contour(tables, jnp.float32(lvl))
+        for ref_db in (65.0, 25.0, 5.0):
+            scaled = contour - jnp.max(contour) + ref_db
+            assert abs(float(jnp.max(scaled)) - ref_db) < 1e-4
+    # and the anchor bin is the lowest frequency (ISO-226 contours are
+    # loudest at the bottom of the band)
+    contour = psycho.phon_contour(tables, jnp.float32(25.0))
+    assert int(jnp.argmax(contour)) == 0
+
+
+def test_min_max_freqs_bin_quantization(rng, setup):
+    """Admitted-band membership is quantized to rFFT bins: an upper
+    cutoff below bin 1 keeps ONLY the DC bin, and any two cutoffs between
+    the same pair of bin frequencies admit bit-identical sets (measured
+    on chip as the bit-equal 16 Hz and 25 Hz quality_r5 cells; bin width
+    sr/n_fft). Reference mask semantics: src/core/projections.py:68-80
+    (min_freq is the audible-energy upper cutoff)."""
+    cfg, tables, params = setup
+    p, _ = _p_and_clean(rng)
+    spec = dsp.stft(p, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    bin_w = cfg.sr / cfg.n_fft
+    max_f = jnp.float32(20_000.0)
+    dc_only = projections.project_min_max_freqs(
+        spec, tables.bin_freqs, jnp.float32(0.5 * bin_w), max_f)
+    assert bool(jnp.all(dc_only[:, 1:] == 0))
+    assert bool(jnp.all(dc_only[:, 0] == spec[:, 0]))
+    a = projections.project_min_max_freqs(
+        spec, tables.bin_freqs, jnp.float32(1.1 * bin_w), max_f)
+    b = projections.project_min_max_freqs(
+        spec, tables.bin_freqs, jnp.float32(1.9 * bin_w), max_f)
+    assert bool(jnp.all(a == b))
+    assert bool(jnp.any(a[:, 1] != 0)) and bool(jnp.all(a[:, 2:] == 0))
+
+
 def test_max_phon_traced_sweep_via_with_sweep_value(rng, setup):
     """max_phon flows through the generic with_sweep_value vmap path."""
     from paa_tpu.config import with_sweep_value
