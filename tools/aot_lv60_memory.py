@@ -153,6 +153,26 @@ def main(argv=None) -> int:
     report["cases"]["v5e-8_dp4_tp2_accum1"] = analyze(step, sds)
     print("dp4×tp2 accum=1:", report["cases"]["v5e-8_dp4_tp2_accum1"])
 
+    # pure 8-way DP at the shipping accum=2 — the layout behind the
+    # docs/PERF.md v5e-8 throughput projection; certify its memory too
+    mesh_dp8 = Mesh(np.array(topo8.devices).reshape(8,), ("data",))
+    step_dp, sds_dp = build_case(mesh_dp8, tp=1, batch=args.batch,
+                                 audio_len=args.audio_len, accum=2,
+                                 attention_impl=args.attention_impl,
+                                 conv_impl=args.conv_impl)
+    report["cases"]["v5e-8_dp8_accum2"] = analyze(step_dp, sds_dp)
+    print("dp8 accum=2:", report["cases"]["v5e-8_dp8_accum2"])
+
+    # the smallest pod slice that runs lv60 monolithic: v5e-4 dp2×tp2
+    topo4 = get_topology_desc("v5e:2x2", platform="tpu")
+    mesh4 = Mesh(np.array(topo4.devices).reshape(2, 2), ("data", "model"))
+    step4, sds4 = build_case(mesh4, tp=2, batch=args.batch,
+                             audio_len=args.audio_len, accum=1,
+                             attention_impl=args.attention_impl,
+                             conv_impl=args.conv_impl)
+    report["cases"]["v5e-4_dp2_tp2_accum1"] = analyze(step4, sds4)
+    print("dp2×tp2 accum=1:", report["cases"]["v5e-4_dp2_tp2_accum1"])
+
     try:
         # 1x1 needs explicit host bounds (the default 2x2x1 doesn't divide)
         topo1 = get_topology_desc(
