@@ -34,6 +34,10 @@ def collect_cells() -> tuple[list[dict], list[dict]]:
     part_a, part_b = [], []
     for f in sorted(glob.glob(os.path.join(HERE, "cells", "*", "results.json"))):
         name = os.path.basename(os.path.dirname(f))
+        if name.endswith("_adam"):
+            # the optimizer-A/B cells (README §optimizer-axis) are a
+            # different experiment — keep them out of the PGD curves
+            continue
         r = json.load(open(f))
         row = {
             "run": name,
