@@ -91,6 +91,11 @@ CONV_IMPL = os.environ.get("BENCH_CONV_IMPL", "conv")  # conv|hybrid|pairdot|...
 # the CPU backend at a reduced, labeled shape — an HONEST number against
 # the CPU-measured baseline rather than silence.
 PROBE_TIMEOUT = int(os.environ.get("BENCH_PROBE_TIMEOUT", "900"))
+# The tunnel flaps in windows (observed 2026-08-20/21: device listing ok
+# while the first HBM transfer hangs for 15-60 min, then recovers) — so
+# one probe window can miss a chip that is back minutes later. Attempt
+# the probe this many times before conceding to the CPU fallback.
+PROBE_ATTEMPTS = max(1, int(os.environ.get("BENCH_PROBE_ATTEMPTS", "2")))
 SKIP_PROBE = os.environ.get("BENCH_SKIP_PROBE", "0") == "1"
 CPU_FALLBACK = os.environ.get("BENCH_CPU_FALLBACK", "0") == "1"
 CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", "2"))
@@ -103,10 +108,17 @@ def _probe_backend() -> "tuple[str | None, str | None]":
     paa_tpu.runtime.probe_device)."""
     from paa_tpu.runtime import probe_device
 
-    try:
-        return probe_device(timeout=PROBE_TIMEOUT), None
-    except RuntimeError as e:
-        return None, str(e)
+    err = None
+    for attempt in range(PROBE_ATTEMPTS):
+        try:
+            return probe_device(timeout=PROBE_TIMEOUT), None
+        except RuntimeError as e:
+            err = str(e)
+            if attempt + 1 < PROBE_ATTEMPTS:
+                print(f"bench.py: probe attempt {attempt + 1}/"
+                      f"{PROBE_ATTEMPTS} failed ({err.splitlines()[0][:120]}); "
+                      "retrying", file=sys.stderr)
+    return None, err
 
 
 def _reexec_cpu_fallback(reason: str) -> "None":
